@@ -1,0 +1,88 @@
+"""Condensing: stage-wise affine dynamics -> dense prediction matrices.
+
+Replaces ``mpc/ltv/sequential_integration.m:21-47``, which builds the
+prediction matrices with O(N^2) sequential block products in interpreted
+MATLAB.  Here a single ``lax.scan`` over the horizon carries the running
+transition product and writes one block-row per step; under ``vmap`` each
+step becomes one batched (nx x nx) @ (nx x (N*nu + nx + 1)) matmul, so the
+batch dimension keeps the MXU busy while the horizon stays the short
+sequential axis.
+
+Inputs are the *discrete* stage matrices (x_{k+1} = Ad x_k + Bd u_k + dd),
+i.e. the reference's ``A*dt + I`` / ``B*dt`` / ``d*dt``
+(``sequential_integration.m:16-18``) already folded in by
+``models.integrators.linearize_discrete``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def condense(Ad, Bd, dd):
+    """Build dense prediction matrices.
+
+    Args:
+      Ad: (N, nx, nx), Bd: (N, nx, nu), dd: (N, nx)
+
+    Returns:
+      A_bar: (N, nx, nx)      with  A_bar[i] = Ad_i ... Ad_0
+      B_bar: (N, nx, N*nu)    lower-block-triangular: x_i sensitivity to u_j
+      d_bar: (N, nx)          accumulated affine offsets
+
+    such that  x_{i+1} = A_bar[i] x_0 + B_bar[i] u_flat + d_bar[i].
+    """
+    N, nx, nu = Bd.shape
+    dtype = Ad.dtype
+
+    def step(carry, inp):
+        phi, G, delta = carry
+        i, A_i, B_i, d_i = inp
+        phi = A_i @ phi
+        G = A_i @ G
+        G = lax.dynamic_update_slice(G, B_i, (jnp.int32(0), i * nu))
+        delta = A_i @ delta + d_i
+        carry = (phi, G, delta)
+        return carry, carry
+
+    init = (jnp.eye(nx, dtype=dtype),
+            jnp.zeros((nx, N * nu), dtype=dtype),
+            jnp.zeros((nx,), dtype=dtype))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    _, (A_bar, B_bar, d_bar) = lax.scan(step, init, (idx, Ad, Bd, dd))
+    return A_bar, B_bar, d_bar
+
+
+def condense_associative(Ad, dd):
+    """Log-depth transition/offset products via ``lax.associative_scan``.
+
+    The pair (Phi_i, delta_i) composes associatively:
+    (A2, d2) o (A1, d1) = (A2 A1, A2 d1 + d2).  Used for long horizons
+    (minimum-time planners, N=500..1000) where the O(N) scan's sequential
+    depth dominates.  Returns (A_bar, d_bar) as in :func:`condense`.
+    """
+    def combine(left, right):
+        A1, d1 = left
+        A2, d2 = right
+        return (jnp.einsum("...ij,...jk->...ik", A2, A1),
+                jnp.einsum("...ij,...j->...i", A2, d1) + d2)
+
+    A_bar, d_bar = lax.associative_scan(combine, (Ad, dd), axis=0)
+    return A_bar, d_bar
+
+
+def rollout(Ad, Bd, dd, x0, u):
+    """Apply the stage dynamics directly: x_{i+1} = Ad_i x_i + Bd_i u_i + dd_i.
+
+    Cheaper than materialising B_bar when only the trajectory (not the
+    sensitivity operator) is needed.  ``u``: (N, nu).  Returns (N, nx).
+    """
+    def step(x, inp):
+        A_i, B_i, d_i, u_i = inp
+        x_next = A_i @ x + B_i @ u_i + d_i
+        return x_next, x_next
+
+    _, xs = lax.scan(step, x0, (Ad, Bd, dd, u))
+    return xs
