@@ -121,7 +121,7 @@ def test_dynamic_solves_and_respects_bounds(circ):
     params = VehicleParams()
     x_ref, x_lin, u_lin = _ref_and_lin(7, N, mpc.dt)
     x0 = jnp.asarray([0.0, 0.05, 0.02, 8.0, 0.0, 8.0 / 25.0, 0.0])
-    xl = np.asarray(x_lin)
+    xl = np.array(x_lin)
     xl[:, 5] = 8.0 / 25.0  # plausible yaw rate on the circle
     res = ltv.ltv_mpc_dynamic(x0, x_ref, circ, params, mpc,
                               jnp.asarray(xl), u_lin)
