@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -69,13 +70,15 @@ def state_box_group(idx, lb, ub, slack_idx, x_lin, u_lin):
     r = idx.shape[0]
     C = jnp.zeros((r, nx), x_lin.dtype).at[jnp.arange(r), idx].set(1.0)
     g0 = x_lin[:, idx]
+    # lb/ub/slack_idx stay host-side numpy: they define the static row
+    # structure and must remain concrete under jit tracing.
     return StageConstraint(
         g0=g0,
         C=jnp.broadcast_to(C, (N, r, nx)),
         D=jnp.zeros((N, r, nu), x_lin.dtype),
-        lb=jnp.asarray(lb, x_lin.dtype),
-        ub=jnp.asarray(ub, x_lin.dtype),
-        slack_idx=jnp.asarray(slack_idx, jnp.int32),
+        lb=np.asarray(lb, np.float64),
+        ub=np.asarray(ub, np.float64),
+        slack_idx=np.asarray(slack_idx, np.int32),
     )
 
 
@@ -92,9 +95,9 @@ def kinematic_tyre_group(x_lin, u_lin, mpc: MPCParams, params: VehicleParams,
     g0, C, D = _linearize_group(g, x_lin, u_lin)
     return StageConstraint(
         g0=g0, C=C, D=D,
-        lb=jnp.asarray([-mpc.ay_max], x_lin.dtype),
-        ub=jnp.asarray([mpc.ay_max], x_lin.dtype),
-        slack_idx=jnp.asarray([slack], jnp.int32),
+        lb=np.asarray([-mpc.ay_max], np.float64),
+        ub=np.asarray([mpc.ay_max], np.float64),
+        slack_idx=np.asarray([slack], np.int32),
     )
 
 
@@ -112,9 +115,9 @@ def dynamic_slip_group(x_lin, u_lin, mpc: MPCParams, params: VehicleParams,
     g0, C, D = _linearize_group(g, x_lin, u_lin)
     return StageConstraint(
         g0=g0, C=C, D=D,
-        lb=jnp.asarray([-mpc.slip_max, -mpc.slip_max], x_lin.dtype),
-        ub=jnp.asarray([mpc.slip_max, mpc.slip_max], x_lin.dtype),
-        slack_idx=jnp.asarray([slack_rear, slack_front], jnp.int32),
+        lb=np.asarray([-mpc.slip_max, -mpc.slip_max], np.float64),
+        ub=np.asarray([mpc.slip_max, mpc.slip_max], np.float64),
+        slack_idx=np.asarray([slack_rear, slack_front], np.int32),
     )
 
 
@@ -139,12 +142,11 @@ def friction_polygon_group(x_lin, u_lin, mpc: MPCParams, params: VehicleParams,
         return (u[0] - al[:-1]) * dac - (fcr_norm - ac[:-1]) * dal
 
     g0, C, D = _linearize_group(g, x_lin, u_lin)
-    inf = jnp.asarray(jnp.inf, x_lin.dtype)
     return StageConstraint(
         g0=g0, C=C, D=D,
-        lb=jnp.full((K,), -inf),
-        ub=jnp.zeros((K,), x_lin.dtype),
-        slack_idx=jnp.full((K,), slack, jnp.int32),
+        lb=np.full((K,), -np.inf),
+        ub=np.zeros((K,), np.float64),
+        slack_idx=np.full((K,), slack, np.int32),
     )
 
 

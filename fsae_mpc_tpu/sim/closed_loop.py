@@ -1,0 +1,244 @@
+"""Closed-loop lap simulator: the integration harness of the framework.
+
+Port of the reference driver semantics (``main.m:91-190``) as one
+``lax.scan`` over control ticks, entirely on device:
+
+  tick:  project plant pose onto the track  ->  build speed-ramp reference
+         ->  solve the LTV-MPC QP  ->  actuate via PID + RK6 plant substeps
+         ->  accumulate metrics.
+
+The controller's internal curvilinear model deliberately differs from the
+Cartesian Pacejka plant (independent high-fidelity ground truth), so lap
+metrics constitute a genuine end-to-end check -- the reference's only test
+(SURVEY.md section 4).  Because the whole loop is one jitted scan, ``vmap``
+turns it into a batched lap simulator over perturbed initial states /
+vehicle parameters, which is the framework's data-parallel axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import MPCParams, VehicleParams, VEL_PID, STEER_PID
+from ..models import cartesian as cart
+from ..models import curvilinear as cm
+from ..models import integrators, transforms, pid
+from ..mpc import ltv
+from ..ops import ipm
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation configuration (``main.m:25-40,62``)."""
+
+    model: str = "kinematic"        # "kinematic" | "dynamic"
+    n_ticks: int = 1000
+    n_substeps: int = 10
+    mpc: MPCParams = MPCParams()
+    ipm: ipm.IpmOptions = ipm.IpmOptions()
+    slack_eps: float = 1e-6         # slack-activation threshold (MATLAB: != 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimOutputs:
+    """Per-tick traces + scalar summary metrics (``main.m:196-228``)."""
+
+    x_history: Any        # (T, 7) plant states after each tick
+    u_history: Any        # (T, 2) first optimal control per tick
+    n_history: Any        # (T,) lateral offsets
+    obj_history: Any      # (T,) optimal objective values
+    slack_n: Any          # (T,)
+    slack_tyre: Any       # (T,)
+    solver_iters: Any     # (T,)
+    converged: Any        # (T,) bool
+    active: Any           # (T,) bool: tick ran before lap completion
+    fcr: Any              # (T,) rear lateral tyre force (plant)
+    lap_time: Any
+    lap_done: Any
+    track_violation: Any
+    max_track_violation: Any
+    tyre_violation: Any
+    max_tyre_violation: Any
+    mean_objective: Any
+    abnormal_exit_frac: Any
+    slack_n_frac: Any
+    slack_tyre_frac: Any
+    mean_iters: Any
+    max_iters: Any
+
+
+jax.tree_util.register_dataclass(
+    SimOutputs,
+    data_fields=[f.name for f in dataclasses.fields(SimOutputs)],
+    meta_fields=[])
+
+
+def _initial_guess(cfg: SimConfig, dtype):
+    """MPC warm-start trajectory (``main.m:44-48``): quadratic arclength,
+    linear velocity ramp at 10 m/s^2, constant accel control."""
+    N = cfg.mpc.n_steps
+    dt = cfg.mpc.dt
+    nx = 5 if cfg.model == "kinematic" else 7
+    t = dt * jnp.arange(1, N + 1, dtype=dtype)
+    x_opt = jnp.zeros((N, nx), dtype)
+    x_opt = x_opt.at[:, 0].set(10.0 * t ** 2 / 2.0)
+    x_opt = x_opt.at[:, 3].set(10.0 * t)
+    u_opt = jnp.tile(jnp.asarray([10.0, 0.0], dtype), (N, 1))
+    return x_opt, u_opt
+
+
+def _reference(cfg: SimConfig, x0, plant_vx, dtype):
+    """Speed-ramp reference toward the target velocity (``main.m:106-114``)."""
+    N = cfg.mpc.n_steps
+    dt = cfg.mpc.dt
+    tv = cfg.mpc.target_vel
+    nx = x0.shape[0]
+    steps = jnp.arange(1, N + 1, dtype=dtype)
+    up = jnp.minimum(x0[3] + 10.0 * dt * steps, tv)
+    down = jnp.maximum(x0[3] - 10.0 * dt * steps, tv)
+    v_ref = jnp.where(plant_vx < tv, up, down)
+    x_ref = jnp.zeros((N, nx), dtype)
+    x_ref = x_ref.at[:, 3].set(v_ref)
+    x_ref = x_ref.at[:, 0].set(x0[0] + jnp.cumsum(v_ref * dt))
+    return x_ref
+
+
+def simulate(track, params: VehicleParams = VehicleParams(),
+             cfg: SimConfig = SimConfig(), x_init=None) -> SimOutputs:
+    """Run one closed-loop simulation.  jit/vmap-safe.
+
+    ``x_init``: optional (7,) initial Cartesian plant state (default zeros,
+    ``main.m:63``).
+    """
+    dtype = track.px.dtype
+    kinematic = cfg.model == "kinematic"
+    nx = 5 if kinematic else 7
+    dt = cfg.mpc.dt
+
+    if x_init is None:
+        x_init = jnp.zeros((7,), dtype)
+
+    x_opt0, u_opt0 = _initial_guess(cfg, dtype)
+
+    solver = ltv.ltv_mpc_kinematic if kinematic else ltv.ltv_mpc_dynamic
+
+    def plant_substeps(x, v_ref, delta_ref, pids):
+        vel_pid, steer_pid = pids
+
+        def sub(carry, _):
+            x, vel_pid, steer_pid = carry
+            fx, vel_pid = pid.pid_step(v_ref, x[3], VEL_PID, vel_pid)
+            sr, steer_pid = pid.pid_step(delta_ref, x[6], STEER_PID, steer_pid)
+            u = jnp.stack([fx, sr])
+            x = integrators.rk6_step(lambda xx, uu: cart.f_cart_dyn(xx, uu, params),
+                                     x, u, dt / cfg.n_substeps)
+            return (x, vel_pid, steer_pid), None
+
+        (x, vel_pid, steer_pid), _ = lax.scan(
+            sub, (x, vel_pid, steer_pid), None, length=cfg.n_substeps)
+        return x, (vel_pid, steer_pid)
+
+    def tick(carry, _):
+        x, x_opt, u_opt, pids, done = carry
+
+        # -- project onto track (warm start: first predicted s, main.m:93) --
+        s, n, mu = transforms.cartesian_to_curvilinear(
+            x[0], x[1], x[2], track, x_opt[0, 0])
+        if kinematic:
+            x0 = jnp.stack([s, n, mu, jnp.hypot(x[3], x[4]), x[6]])
+        else:
+            x0 = jnp.stack([s, n, mu, x[3], x[4], x[5], x[6]])
+
+        done = done | (s >= track.L)
+
+        x_ref = _reference(cfg, x0, x[3], dtype)
+
+        res = solver(x0, x_ref, track, params, cfg.mpc, x_opt, u_opt, cfg.ipm)
+
+        v_ref = res.x_opt[0, 3]
+        delta_ref = res.x_opt[0, nx - 1]
+        x_new, pids_new = plant_substeps(x, v_ref, delta_ref, pids)
+
+        # freeze everything once the lap is complete
+        x = jnp.where(done, x, x_new)
+        x_opt = jnp.where(done, x_opt, res.x_opt)
+        u_opt = jnp.where(done, u_opt, res.u_opt)
+        pids = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(done, a, b), pids, pids_new)
+
+        fcr = cm.rear_lateral_force(
+            jnp.concatenate([jnp.zeros((3,), dtype), x[3:7]]), params)
+        converged = (res.qp.primal_res < 1e-6) & (res.qp.mu < 1e-3)
+
+        out = dict(
+            x=x, u=res.u_opt[0], n=n, obj=res.fval,
+            slack_n=res.slack[0], slack_tyre=res.slack[-1],
+            iters=res.qp.iterations, converged=converged,
+            active=jnp.logical_not(done), fcr=fcr,
+        )
+        return (x, x_opt, u_opt, pids, done), out
+
+    pids0 = (pid.pid_init(jnp.zeros((), dtype)), pid.pid_init(jnp.zeros((), dtype)))
+    carry0 = (x_init.astype(dtype), x_opt0, u_opt0, pids0,
+              jnp.zeros((), jnp.bool_))
+    _, tr = lax.scan(tick, carry0, None, length=cfg.n_ticks)
+
+    return _summarise(tr, cfg, params, dtype)
+
+
+def _summarise(tr, cfg: SimConfig, params: VehicleParams, dtype):
+    """Aggregate per-tick traces into the reference's metric set
+    (``main.m:196-228``)."""
+    dt = cfg.mpc.dt
+    active = tr["active"]
+    act = active.astype(dtype)
+    n_act = jnp.maximum(jnp.sum(act), 1.0)
+
+    n_abs = jnp.abs(tr["n"])
+    tv = jnp.maximum(n_abs - cfg.mpc.n_max, 0.0) * act
+    track_violation = jnp.sum(tv) * dt
+    max_track_violation = jnp.max(tv)
+
+    fe = ((tr["fcr"] / (params.m * params.ac_max)) ** 2
+          + (tr["u"][:, 0] / params.al_max) ** 2)
+    fe_exc = jnp.maximum(fe - 1.0, 0.0) * act
+    tyre_violation = jnp.sum(fe_exc) * dt
+    max_tyre_violation = jnp.max(fe_exc)
+
+    slack_free = ((tr["slack_n"] < cfg.slack_eps)
+                  & (tr["slack_tyre"] < cfg.slack_eps) & active)
+    sf = slack_free.astype(dtype)
+    mean_obj = jnp.sum(tr["obj"] * sf) / jnp.maximum(jnp.sum(sf), 1.0)
+
+    lap_done = jnp.logical_not(active[-1])
+    lap_time = jnp.sum(act) * dt
+
+    return SimOutputs(
+        x_history=tr["x"], u_history=tr["u"], n_history=tr["n"],
+        obj_history=tr["obj"], slack_n=tr["slack_n"],
+        slack_tyre=tr["slack_tyre"], solver_iters=tr["iters"],
+        converged=tr["converged"], active=active, fcr=tr["fcr"],
+        lap_time=lap_time, lap_done=lap_done,
+        track_violation=track_violation,
+        max_track_violation=max_track_violation,
+        tyre_violation=tyre_violation,
+        max_tyre_violation=max_tyre_violation,
+        mean_objective=mean_obj,
+        abnormal_exit_frac=jnp.sum(jnp.logical_not(tr["converged"]) * act) / n_act,
+        slack_n_frac=jnp.sum((tr["slack_n"] >= cfg.slack_eps) * act) / n_act,
+        slack_tyre_frac=jnp.sum((tr["slack_tyre"] >= cfg.slack_eps) * act) / n_act,
+        mean_iters=jnp.sum(tr["iters"] * act) / n_act,
+        max_iters=jnp.max(jnp.where(active, tr["iters"], 0)),
+    )
+
+
+def simulate_jit(track, params, cfg: SimConfig, x_init=None):
+    """jit-compiled entry with the static config closed over."""
+    fn = jax.jit(partial(simulate, cfg=cfg))
+    return fn(track, params, x_init=x_init)
