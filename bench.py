@@ -28,7 +28,7 @@ def main():
 
     on_tpu = jax.default_backend() != "cpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
-    batch = 1024 if on_tpu else 32
+    batch = 512 if on_tpu else 32
 
     mpc = MPCParams(n_steps=40)
     # fixed-iteration f32 solve: deterministic latency, fully batched

@@ -7,12 +7,20 @@ linearisers (``kinematic_tyre_linearise_constraints.m``,
 ``dynamic_slip_linearise_constraints.m``,
 ``dynamic_tyre_linearise_constraints.m`` -- 231 LoC of manual chain rule).
 
-A constraint group is reduced to the canonical affine form used by the QP
-assembler:
+A group is a batch of affine rows
 
-    lb_g <= g0_i + C_i (x_i - x_lin_i) + D_i (u_i - u_lin_i) + sign * sigma_k <= ub_g
+    lb <= offset_const_i + C_i x_{state_rows[i]} + D_i u_{ctrl_cols[i]}
+          + sign * sigma_{slack_idx}  <= ub
 
-with ``sigma_k`` an optional soft slack (one of the QP's extra variables).
+where ``offset_const = g(x_lin, u_lin) - C x_lin - D u_lin`` is folded in by
+the builder, ``state_rows[i]`` indexes the predicted-state trajectory
+(-1 = the fixed initial state x0, used by transcriptions whose rows touch
+the pre-step state, e.g. the MS-NMPC friction rows
+``rk2_nmpc_dynamic_curvilinear.m:102-113``), and ``ctrl_cols[i]`` indexes
+the control trajectory (-1 = no control dependence).
+
+``lb/ub/slack_idx/state_rows/ctrl_cols`` are *static numpy* -- they define
+the QP row structure and must stay concrete under jit tracing.
 """
 
 from __future__ import annotations
@@ -30,75 +38,73 @@ from ..models import curvilinear as cm
 
 @dataclasses.dataclass(frozen=True)
 class StageConstraint:
-    """Linearised stage constraint group over the horizon.
+    C: Any                 # (Ng, r, nx) traced
+    D: Any                 # (Ng, r, nu) traced
+    offset_const: Any      # (Ng, r) traced
+    lb: np.ndarray         # (r,) static
+    ub: np.ndarray         # (r,) static
+    slack_idx: np.ndarray  # (r,) static; -1 = hard row
+    state_rows: np.ndarray  # (Ng,) static; -1 = fixed x0
+    ctrl_cols: np.ndarray   # (Ng,) static; -1 = no control column
 
-    g0: (N, r) values at the linearisation point
-    C:  (N, r, nx) state jacobians;  D: (N, r, nu) control jacobians
-    lb, ub: (r,) bounds (inf = one-sided)
-    slack_idx: (r,) int32 index of the slack variable softening each row,
-        or -1 for hard rows.
+
+def linearize_group(g_fn: Callable, x_lin, u_lin, lb, ub, slack_idx,
+                    state_rows=None, ctrl_cols=None):
+    """Build a StageConstraint from a vector stage function via jacfwd.
+
+    ``x_lin/u_lin``: (Ng, nx)/(Ng, nu) linearisation points matching
+    ``state_rows``/``ctrl_cols`` (defaults: identity mapping 0..Ng-1).
     """
-
-    g0: Any
-    C: Any
-    D: Any
-    lb: Any
-    ub: Any
-    slack_idx: Any
-
-
-def _linearize_group(g_fn: Callable, x_lin, u_lin):
-    """vmap jacfwd of a vector stage function over the horizon."""
     def one(x, u):
-        g0 = g_fn(x, u)
-        C = jax.jacfwd(g_fn, argnums=0)(x, u)
-        D = jax.jacfwd(g_fn, argnums=1)(x, u)
+        g0 = jnp.atleast_1d(g_fn(x, u))
+        C = jnp.atleast_2d(jax.jacfwd(g_fn, argnums=0)(x, u))
+        D = jnp.atleast_2d(jax.jacfwd(g_fn, argnums=1)(x, u))
         return g0, C, D
-    return jax.vmap(one)(x_lin, u_lin)
+
+    g0, C, D = jax.vmap(one)(x_lin, u_lin)
+    offset_const = (g0 - jnp.einsum("nri,ni->nr", C, x_lin)
+                    - jnp.einsum("nri,ni->nr", D, u_lin))
+    Ng = x_lin.shape[0]
+    if state_rows is None:
+        state_rows = np.arange(Ng)
+    if ctrl_cols is None:
+        ctrl_cols = np.arange(Ng)
+    return StageConstraint(
+        C=C, D=D, offset_const=offset_const,
+        lb=np.atleast_1d(np.asarray(lb, np.float64)),
+        ub=np.atleast_1d(np.asarray(ub, np.float64)),
+        slack_idx=np.atleast_1d(np.asarray(slack_idx, np.int32)),
+        state_rows=np.asarray(state_rows, np.int32),
+        ctrl_cols=np.asarray(ctrl_cols, np.int32))
 
 
-def state_box_group(idx, lb, ub, slack_idx, x_lin, u_lin):
+def state_box_group(idx, lb, ub, slack_idx, x_lin, u_lin, state_rows=None):
     """Box constraints on selected state components (hard or soft).
 
     Mirrors the selected-row machinery of
     ``kinematic_state_constraints.m:14-29`` / ``dynamic_state_constraints.m``.
     """
-    idx = jnp.asarray(idx, jnp.int32)
-    nx = x_lin.shape[1]
-    nu = u_lin.shape[1]
-    N = x_lin.shape[0]
-    r = idx.shape[0]
-    C = jnp.zeros((r, nx), x_lin.dtype).at[jnp.arange(r), idx].set(1.0)
-    g0 = x_lin[:, idx]
-    # lb/ub/slack_idx stay host-side numpy: they define the static row
-    # structure and must remain concrete under jit tracing.
-    return StageConstraint(
-        g0=g0,
-        C=jnp.broadcast_to(C, (N, r, nx)),
-        D=jnp.zeros((N, r, nu), x_lin.dtype),
-        lb=np.asarray(lb, np.float64),
-        ub=np.asarray(ub, np.float64),
-        slack_idx=np.asarray(slack_idx, np.int32),
-    )
+    sel = np.asarray(idx, np.int64)
+
+    def g(x, u):
+        return x[jnp.asarray(sel)]
+
+    return linearize_group(g, x_lin, u_lin, lb, ub, slack_idx,
+                           state_rows=state_rows)
 
 
 def kinematic_tyre_group(x_lin, u_lin, mpc: MPCParams, params: VehicleParams,
-                         slack: int):
+                         slack: int, state_rows=None):
     """Kinematic lateral-acceleration proxy  |v^2 delta / (lr+lf)| <= ay_max.
 
     (``kinematic_tyre_linearise_constraints.m:18-32``; also the MS-NMPC
     friction rows ``rk2_nmpc_kinematic_curvilinear.m:110-113``.)
     """
     def g(x, u):
-        return jnp.atleast_1d(x[3] ** 2 * x[4] / (params.lr + params.lf))
+        return x[3] ** 2 * x[4] / (params.lr + params.lf)
 
-    g0, C, D = _linearize_group(g, x_lin, u_lin)
-    return StageConstraint(
-        g0=g0, C=C, D=D,
-        lb=np.asarray([-mpc.ay_max], np.float64),
-        ub=np.asarray([mpc.ay_max], np.float64),
-        slack_idx=np.asarray([slack], np.int32),
-    )
+    return linearize_group(g, x_lin, u_lin, [-mpc.ay_max], [mpc.ay_max],
+                           [slack], state_rows=state_rows)
 
 
 def dynamic_slip_group(x_lin, u_lin, mpc: MPCParams, params: VehicleParams,
@@ -112,13 +118,10 @@ def dynamic_slip_group(x_lin, u_lin, mpc: MPCParams, params: VehicleParams,
         q = cm.rear_slip_quantities(x, params)
         return jnp.stack([q["alpha_r"], q["alpha_f"]])
 
-    g0, C, D = _linearize_group(g, x_lin, u_lin)
-    return StageConstraint(
-        g0=g0, C=C, D=D,
-        lb=np.asarray([-mpc.slip_max, -mpc.slip_max], np.float64),
-        ub=np.asarray([mpc.slip_max, mpc.slip_max], np.float64),
-        slack_idx=np.asarray([slack_rear, slack_front], np.int32),
-    )
+    return linearize_group(
+        g, x_lin, u_lin,
+        [-mpc.slip_max, -mpc.slip_max], [mpc.slip_max, mpc.slip_max],
+        [slack_rear, slack_front])
 
 
 def friction_polygon_group(x_lin, u_lin, mpc: MPCParams, params: VehicleParams,
@@ -141,17 +144,28 @@ def friction_polygon_group(x_lin, u_lin, mpc: MPCParams, params: VehicleParams,
         fcr_norm = cm.rear_lateral_force(x, params) / params.m
         return (u[0] - al[:-1]) * dac - (fcr_norm - ac[:-1]) * dal
 
-    g0, C, D = _linearize_group(g, x_lin, u_lin)
-    return StageConstraint(
-        g0=g0, C=C, D=D,
-        lb=np.full((K,), -np.inf),
-        ub=np.zeros((K,), np.float64),
-        slack_idx=np.full((K,), slack, np.int32),
-    )
+    return linearize_group(g, x_lin, u_lin,
+                           np.full((K,), -np.inf), np.zeros((K,)),
+                           np.full((K,), slack, np.int32))
+
+
+def friction_ellipse_group(x_lin, u_lin, mpc: MPCParams,
+                           params: VehicleParams, slack: int,
+                           state_rows=None, ctrl_cols=None):
+    """Exact (nonconvex) friction-ellipse row for the SQP transcriptions:
+    (Fcr/(m ac_max))^2 + (u1/al_max)^2 <= 1 + sigma
+    (``rk2_nmpc_dynamic_curvilinear.m:109-112``)."""
+    def g(x, u):
+        fcr = cm.rear_lateral_force(x, params)
+        return ((fcr / (params.m * params.ac_max)) ** 2
+                + (u[0] / params.al_max) ** 2)
+
+    return linearize_group(g, x_lin, u_lin, [-np.inf], [1.0], [slack],
+                           state_rows=state_rows, ctrl_cols=ctrl_cols)
 
 
 def friction_ellipse_value(fcr, fx_per_m, params: VehicleParams):
     """Exact friction-ellipse utilisation  (Fcr/(m ac_max))^2 + (a/al_max)^2
-    (``main.m:199``; NMPC constraint ``rk2_nmpc_dynamic_curvilinear.m:109-112``)."""
+    (``main.m:199``)."""
     return ((fcr / (params.m * params.ac_max)) ** 2
             + (fx_per_m / params.al_max) ** 2)

@@ -46,56 +46,70 @@ jax.tree_util.register_dataclass(
 
 
 def assemble_condensed_qp(A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
-                          r_soft: Sequence[float], groups, u_lb, u_ub,
-                          x_lin, u_lin):
-    """Assemble the condensed QP over v = [u_0..u_{N-1}, sigma_1..sigma_k].
+                          r_soft: Sequence[float], groups, u_lb, u_ub):
+    """Assemble the condensed QP over v = [u_0..u_{NC-1}, sigma_1..sigma_k].
 
-    ``groups`` is a list of :class:`constraints.StageConstraint` whose
-    ``lb/ub/slack_idx`` must be *static* numpy arrays (they define the row
-    structure).  Returns (H, g, A, lb, ub, lbA, ubA, const).
+    ``B_bar``: (N, nx, NC*nu) control-sensitivity blocks (NC may exceed N
+    for collocation transcriptions); ``q_diag``: (N*nx,), ``r_diag``:
+    (NC*nu,); ``groups``: list of :class:`constraints.StageConstraint`.
+    Returns (H, g, A, lb, ub, lbA, ubA, const).
     """
-    N, nx = d_bar.shape
-    nu = u_lin.shape[1]
+    N, nx, NCnu = B_bar.shape
+    nu = u_lb.shape[1]
+    NC = NCnu // nu
     n_soft = len(r_soft)
-    nv = N * nu + n_soft
+    nv = NC * nu + n_soft
     dtype = B_bar.dtype
 
-    B_flat = B_bar.reshape(N * nx, N * nu)
-    err = (jnp.einsum("nij,j->ni", A_bar, x0) + d_bar - x_ref).reshape(-1)
+    B_flat = B_bar.reshape(N * nx, NC * nu)
+    x_pred = jnp.einsum("nij,j->ni", A_bar, x0) + d_bar          # (N, nx)
+    err = (x_pred - x_ref).reshape(-1)
 
     QB = B_flat * q_diag[:, None]
     Hu = 2.0 * (B_flat.T @ QB)
     Hu = Hu + jnp.diag(2.0 * r_diag)
-    H = jnp.zeros((nv, nv), dtype).at[:N * nu, :N * nu].set(Hu)
-    g = jnp.zeros((nv,), dtype).at[:N * nu].set(2.0 * (QB.T @ err))
-    g = g.at[N * nu:].set(jnp.asarray(r_soft, dtype))
+    H = jnp.zeros((nv, nv), dtype).at[:NC * nu, :NC * nu].set(Hu)
+    g = jnp.zeros((nv,), dtype).at[:NC * nu].set(2.0 * (QB.T @ err))
+    g = g.at[NC * nu:].set(jnp.asarray(r_soft, dtype))
     const = err @ (q_diag * err)
 
     lb_v = jnp.concatenate([u_lb.reshape(-1), jnp.zeros((n_soft,), dtype)])
     ub_v = jnp.concatenate([u_ub.reshape(-1),
                             jnp.full((n_soft,), jnp.inf, dtype)])
 
-    # --- constraint rows -------------------------------------------------
-    x_pred_err = jnp.einsum("nij,j->ni", A_bar, x0) + d_bar - x_lin  # (N, nx)
     A_rows, lbA_rows, ubA_rows = [], [], []
 
     for grp in groups:
-        r = grp.g0.shape[1]
-        # rows over u: C_i @ B_bar[i]  (batched over the horizon)
-        CB = jnp.einsum("nri,nij->nrj", grp.C, B_bar)           # (N, r, N*nu)
-        # add D_i at this stage's control columns
-        D_full = jnp.zeros((N, r, N * nu), dtype)
-        idx = jnp.arange(N)
-        D_full = jax.vmap(
-            lambda Df, D, i: jax.lax.dynamic_update_slice(Df, D, (0, i * nu))
-        )(D_full, grp.D, idx)
-        rows_u = (CB + D_full).reshape(N * r, N * nu)
-        offset = (grp.g0 + jnp.einsum("nri,ni->nr", grp.C, x_pred_err)
-                  - jnp.einsum("nri,ni->nr", grp.D, u_lin)).reshape(N * r)
+        Ng, r, _ = grp.C.shape
+        srows = grp.state_rows               # static (Ng,)
+        ccols = grp.ctrl_cols                # static (Ng,)
 
-        lb_g = np.broadcast_to(np.asarray(grp.lb, np.float64), (N, r)).reshape(-1)
-        ub_g = np.broadcast_to(np.asarray(grp.ub, np.float64), (N, r)).reshape(-1)
-        sidx = np.broadcast_to(np.asarray(grp.slack_idx), (N, r)).reshape(-1)
+        # state sensitivity: select B_bar rows (fixed-x0 rows contribute 0)
+        sel = np.clip(srows, 0, N - 1)
+        B_sel = jnp.where((srows >= 0)[:, None, None], B_bar[sel], 0.0)
+        x_sel = jnp.where((srows >= 0)[:, None],
+                          x_pred[sel], jnp.broadcast_to(x0, (Ng, nx)))
+        rows_u = jnp.einsum("nri,nij->nrj", grp.C, B_sel)        # (Ng,r,NC*nu)
+
+        # control sensitivity: scatter D into the stage's control columns
+        has_d = ccols >= 0
+        if np.any(has_d):
+            csel = jnp.asarray(np.clip(ccols, 0, NC - 1), jnp.int32)
+            D_mask = jnp.where(jnp.asarray(has_d)[:, None, None], grp.D, 0.0)
+            D_full = jnp.zeros((Ng, r, NC * nu), dtype)
+            D_full = jax.vmap(
+                lambda Df, Dm, c: jax.lax.dynamic_update_slice(
+                    Df, Dm, (jnp.int32(0), c * nu))
+            )(D_full, D_mask, csel)
+            rows_u = rows_u + D_full
+
+        offset = (grp.offset_const
+                  + jnp.einsum("nri,ni->nr", grp.C, x_sel)).reshape(Ng * r)
+        rows_u = rows_u.reshape(Ng * r, NC * nu)
+
+        lb_g = np.broadcast_to(grp.lb, (Ng, r)).reshape(-1)
+        ub_g = np.broadcast_to(grp.ub, (Ng, r)).reshape(-1)
+        sidx = np.broadcast_to(grp.slack_idx, (Ng, r)).reshape(-1)
 
         def emit(rows, off, lo, hi, slack_col, sign):
             s_cols = jnp.zeros((rows.shape[0], n_soft), dtype)
@@ -107,19 +121,19 @@ def assemble_condensed_qp(A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
 
         hard = sidx < 0
         if np.all(hard):
-            emit(rows_u, offset, jnp.asarray(lb_g, dtype), jnp.asarray(ub_g, dtype),
-                 None, 0.0)
+            emit(rows_u, offset, jnp.asarray(lb_g, dtype),
+                 jnp.asarray(ub_g, dtype), None, 0.0)
         else:
             assert not np.any(hard), "mix of hard/soft rows within a group"
-            inf = jnp.asarray(jnp.inf, dtype)
+            inf_vec = jnp.full((len(lb_g),), jnp.inf, dtype)
             if np.all(np.isfinite(lb_g)):
                 # lower side softened: g + sigma >= lb
-                emit(rows_u, offset, jnp.asarray(lb_g, dtype), inf * jnp.ones(len(lb_g), dtype),
+                emit(rows_u, offset, jnp.asarray(lb_g, dtype), inf_vec,
                      sidx, +1.0)
             if np.all(np.isfinite(ub_g)):
                 # upper side softened: g - sigma <= ub
-                emit(rows_u, offset, -inf * jnp.ones(len(ub_g), dtype),
-                     jnp.asarray(ub_g, dtype), sidx, -1.0)
+                emit(rows_u, offset, -inf_vec, jnp.asarray(ub_g, dtype),
+                     sidx, -1.0)
 
     A = jnp.concatenate(A_rows, axis=0)
     lbA = jnp.concatenate(lbA_rows)
@@ -169,7 +183,7 @@ def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
 
     H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
         A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, [mpc.w_track],
-        groups, u_lb, u_ub, x_lin, u_lin)
+        groups, u_lb, u_ub)
 
     res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
     u_flat = res.x[:N * 2]
@@ -218,7 +232,7 @@ def ltv_mpc_dynamic(x0, x_ref, track, params: VehicleParams,
     H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
         A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
         [mpc.w_track, mpc.w_slip, mpc.w_slip, mpc.w_tyre],
-        groups, u_lb, u_ub, x_lin, u_lin)
+        groups, u_lb, u_ub)
 
     res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
     u_flat = res.x[:N * 2]

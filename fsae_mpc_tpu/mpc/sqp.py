@@ -1,0 +1,171 @@
+"""SQP-based nonlinear MPC: the TPU-native replacement for the IPOPT stack.
+
+The reference's eight NMPC solvers hand IPOPT five MATLAB callbacks and
+cross the MATLAB<->C++ boundary twice per interior-point iteration (up to
+5000 iterations, ``rk2_nmpc_kinematic_curvilinear.m``, SURVEY.md section
+3.3).  Here each NMPC tick is a short SQP loop compiled into a single XLA
+program:
+
+    repeat K times:
+        linearise the transcription at the current iterate (autodiff)
+        -> condense states out               (ops.condense)
+        -> solve the convex subproblem       (ops.ipm, exact objective
+           Hessian -- the tracking objective is quadratic, so SQP's
+           subproblem is exact and converges quadratically near the
+           solution; the reference's L-BFGS approximation does not)
+        -> take the full step (real-time-iteration style; the loop is
+           warm-started by the shift-initialisation carried across ticks)
+
+Soft slacks keep every subproblem feasible, matching the reference's
+always-feasible design (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import MPCParams, VehicleParams
+from ..models import curvilinear as cm
+from ..models import integrators
+from ..ops.condense import condense, rollout
+from ..ops import ipm
+from . import constraints as cons
+from .ltv import assemble_condensed_qp, _control_bounds
+
+
+@dataclasses.dataclass(frozen=True)
+class SqpResult:
+    x_opt: Any      # (N, nx) state trajectory (multiple-shooting stages)
+    u_opt: Any      # (NC, nu) control trajectory
+    slack: Any      # (n_soft,)
+    fval: Any       # NLP objective at the final iterate
+    qp: Any         # last subproblem's IpmResult
+
+
+jax.tree_util.register_dataclass(
+    SqpResult, data_fields=["x_opt", "u_opt", "slack", "fval", "qp"],
+    meta_fields=[])
+
+
+def shift_trajectory(x_opt, u_opt, step_fn):
+    """Warm-start shift: drop the first stage, roll the last stage forward
+    one step (``rk2_nmpc_kinematic_curvilinear.m:62-65``)."""
+    x_last = step_fn(x_opt[-1], u_opt[-1])
+    x_new = jnp.concatenate([x_opt[1:], x_last[None]], axis=0)
+    u_new = jnp.concatenate([u_opt[1:], u_opt[-1:]], axis=0)
+    return x_new, u_new
+
+
+def _nmpc_weights(mpc: MPCParams, nx, N, dtype):
+    q = jnp.zeros((nx,), dtype).at[0].set(mpc.q_s).at[1].set(mpc.q_n) \
+        .at[2].set(mpc.q_mu)
+    q_diag = jnp.concatenate([jnp.tile(q, N - 1), q * mpc.q_terminal_scale])
+    r_diag = jnp.tile(jnp.asarray([mpc.r_a, mpc.r_delta_d], dtype), N)
+    return q_diag, r_diag
+
+
+def ms_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
+                      mpc: MPCParams, x_init, u_init,
+                      opts: ipm.IpmOptions = ipm.IpmOptions(),
+                      stepper: str = "rk2", sqp_iters: int = 3) -> SqpResult:
+    """Multiple-shooting NMPC, kinematic model.
+
+    Equivalent problem to ``{euler,rk2,rk4}_nmpc_kinematic_curvilinear.m``:
+    tracking cost Q=[5,250,2000,0,0] / R=[10,10] (terminal x10), RK defects
+    eliminated by condensing, |n|<=0.75 and |v^2 delta/L|<=5 softened by ONE
+    shared slack weighted 1e8 (``:106-113``).  ``x_init/u_init``: SQP
+    starting trajectory (use :func:`shift_trajectory` across ticks).
+    """
+    N = mpc.n_steps
+    dtype = x_init.dtype
+    f = lambda x, u: cm.f_curv_kin(x, u, track, params)
+    step = lambda x, u: integrators.STEPPERS[stepper](f, x, u, mpc.dt)
+    q_diag, r_diag = _nmpc_weights(mpc, 5, N, dtype)
+    u_lb, u_ub = _control_bounds(mpc, N, dtype)
+
+    def sqp_iter(carry, _):
+        x_lin, u_lin = carry
+        Ad, Bd, dd = integrators.linearize_discrete(step, x_lin, u_lin)
+        A_bar, B_bar, d_bar = condense(Ad, Bd, dd)
+        groups = [
+            cons.state_box_group([3, 4], np.array([0.0, -mpc.delta_max]),
+                                 np.array([np.inf, mpc.delta_max]),
+                                 np.array([-1, -1]), x_lin, u_lin),
+            cons.state_box_group([1], np.array([-mpc.n_max]),
+                                 np.array([mpc.n_max]), np.array([0]),
+                                 x_lin, u_lin),
+            cons.kinematic_tyre_group(x_lin, u_lin, mpc, params, slack=0),
+        ]
+        H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
+            A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, [mpc.w_track],
+            groups, u_lb, u_ub)
+        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
+        u_new = res.x[:N * 2].reshape(N, 2)
+        x_new = rollout(Ad, Bd, dd, x0, u_new)
+        return (x_new, u_new), (res.x[N * 2:], res.objective + const, res)
+
+    (x_opt, u_opt), (slacks, fvals, results) = lax.scan(
+        sqp_iter, (x_init, u_init), None, length=sqp_iters)
+    last = jax.tree_util.tree_map(lambda a: a[-1], (slacks, fvals, results))
+    return SqpResult(x_opt=x_opt, u_opt=u_opt, slack=last[0],
+                     fval=last[1], qp=last[2])
+
+
+def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
+                    mpc: MPCParams, x_init, u_init,
+                    opts: ipm.IpmOptions = ipm.IpmOptions(),
+                    stepper: str = "rk2", sqp_iters: int = 3) -> SqpResult:
+    """Multiple-shooting NMPC, dynamic model.
+
+    Equivalent problem to ``{euler,rk2,rk4}_nmpc_dynamic_curvilinear.m``:
+    exact friction-ellipse rows (Fcr/(m ac))^2 + (a/al)^2 <= 1 + sigma_tyre
+    evaluated at the *pre-step* state with the step's control
+    (``rk2_nmpc_dynamic_curvilinear.m:102-113``), track softening 1e8,
+    tyre softening 1e5, acceleration unbounded (the ellipse bounds it).
+    Slack order: [track, tyre].
+    """
+    N = mpc.n_steps
+    dtype = x_init.dtype
+    f = lambda x, u: cm.f_curv_dyn_only(x, u, track, params)
+    step = lambda x, u: integrators.STEPPERS[stepper](f, x, u, mpc.dt)
+    q_diag, r_diag = _nmpc_weights(mpc, 7, N, dtype)
+    inf = np.inf
+    u_lb = jnp.tile(jnp.asarray([-inf, -mpc.delta_d_max], dtype), (N, 1))
+    u_ub = jnp.tile(jnp.asarray([inf, mpc.delta_d_max], dtype), (N, 1))
+
+    pre_rows = np.concatenate([[-1], np.arange(N - 1)])
+
+    def sqp_iter(carry, _):
+        x_lin, u_lin = carry
+        Ad, Bd, dd = integrators.linearize_discrete(step, x_lin, u_lin)
+        A_bar, B_bar, d_bar = condense(Ad, Bd, dd)
+        x_pre = jnp.concatenate([x0[None], x_lin[:-1]], axis=0)
+        groups = [
+            cons.state_box_group([3, 6], np.array([0.0, -mpc.delta_max]),
+                                 np.array([np.inf, mpc.delta_max]),
+                                 np.array([-1, -1]), x_lin, u_lin),
+            cons.state_box_group([1], np.array([-mpc.n_max]),
+                                 np.array([mpc.n_max]), np.array([0]),
+                                 x_lin, u_lin),
+            cons.friction_ellipse_group(x_pre, u_lin, mpc, params, slack=1,
+                                        state_rows=pre_rows),
+        ]
+        H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
+            A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
+            [mpc.w_track, mpc.w_slip], groups, u_lb, u_ub)
+        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
+        u_new = res.x[:N * 2].reshape(N, 2)
+        x_new = rollout(Ad, Bd, dd, x0, u_new)
+        return (x_new, u_new), (res.x[N * 2:], res.objective + const, res)
+
+    (x_opt, u_opt), (slacks, fvals, results) = lax.scan(
+        sqp_iter, (x_init, u_init), None, length=sqp_iters)
+    last = jax.tree_util.tree_map(lambda a: a[-1], (slacks, fvals, results))
+    return SqpResult(x_opt=x_opt, u_opt=u_opt, slack=last[0],
+                     fval=last[1], qp=last[2])

@@ -73,6 +73,48 @@ def condense_associative(Ad, dd):
     return A_bar, d_bar
 
 
+def condense_general(Ad, dd, B_terms, n_controls: int):
+    """Condensing for recurrences whose step couples several controls:
+
+        x_{i+1} = Ad_i x_i + sum_k Bd_k[i] u_{i + off_k} + dd_i
+
+    ``B_terms``: list of ``(Bd (N, nx, nu), offset int)``; ``n_controls`` is
+    the length of the control trajectory (>= N + max offset).  This covers
+    direct collocation, where the linearised trapezoidal defect couples
+    u_i and u_{i+1} (``trapezoidal_nmpc_kinematic_curvilinear.m:195-201``),
+    and Hermite-Simpson's (u_i, u_mid, u_{i+1}) coupling.
+
+    Returns (A_bar, B_bar, d_bar) with B_bar: (N, nx, n_controls*nu).
+    """
+    N, nx = dd.shape
+    nu = B_terms[0][0].shape[-1]
+    dtype = Ad.dtype
+
+    def step(carry, inp):
+        phi, G, delta = carry
+        i = inp[0]
+        A_i = inp[1]
+        d_i = inp[2]
+        Bs = inp[3:]
+        phi = A_i @ phi
+        G = A_i @ G
+        for (B_all, off), B_i in zip(B_terms, Bs):
+            col = (i + off) * nu
+            cur = lax.dynamic_slice(G, (jnp.int32(0), col), (nx, nu))
+            G = lax.dynamic_update_slice(G, cur + B_i, (jnp.int32(0), col))
+        delta = A_i @ delta + d_i
+        carry = (phi, G, delta)
+        return carry, carry
+
+    init = (jnp.eye(nx, dtype=dtype),
+            jnp.zeros((nx, n_controls * nu), dtype=dtype),
+            jnp.zeros((nx,), dtype=dtype))
+    idx = jnp.arange(N, dtype=jnp.int32)
+    xs = (idx, Ad, dd) + tuple(B for B, _ in B_terms)
+    _, (A_bar, B_bar, d_bar) = lax.scan(step, init, xs)
+    return A_bar, B_bar, d_bar
+
+
 def rollout(Ad, Bd, dd, x0, u):
     """Apply the stage dynamics directly: x_{i+1} = Ad_i x_i + Bd_i u_i + dd_i.
 

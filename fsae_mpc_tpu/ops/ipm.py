@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import linalg as xlinalg
+
 
 @dataclasses.dataclass(frozen=True)
 class IpmOptions:
@@ -50,6 +52,11 @@ class IpmOptions:
     s_init: float = 1.0         # initial slack floor
     z_init: float = 1.0         # initial dual value
     adaptive: bool = True       # while_loop early exit (False: fixed fori)
+    chol: str = "auto"          # "auto" | "lapack" | "blocked": KKT solver.
+                                # TPU lowers lapack cholesky/cho_solve to a
+                                # custom call that exhausts scoped VMEM for
+                                # batched 84x84 systems; "blocked" is the
+                                # pure-XLA implementation in ops.linalg.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +111,9 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
     n_active = (jnp.sum(mbl) + jnp.sum(mbu) + jnp.sum(mrl) + jnp.sum(mru))
     n_active = jnp.maximum(n_active, 1).astype(dtype)
 
+    use_blocked = (opts.chol == "blocked"
+                   or (opts.chol == "auto" and jax.default_backend() == "tpu"))
+
     if x0 is None:
         x0 = jnp.zeros((n,), dtype)
 
@@ -145,11 +155,16 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         mu = mu_of(state)
         r_dual, r_pbl, r_pbu, r_prl, r_pru = residuals(state)
 
-        # diagonal complementarity scalings (masked sides contribute 0)
-        dbl = jnp.where(mbl, zbl / sbl, 0.0)
-        dbu = jnp.where(mbu, zbu / sbu, 0.0)
-        drl = jnp.where(mrl, zrl / srl, 0.0)
-        dru = jnp.where(mru, zru / sru, 0.0)
+        # diagonal complementarity scalings (masked sides contribute 0).
+        # Cap them: near convergence z/s reaches 1/eps^2 and the KKT matrix
+        # goes numerically indefinite (observed cond ~1e22 in f64 -> Cholesky
+        # breakdown); the cap bounds the condition number without affecting
+        # the active-set identification.
+        d_cap = 1e14 if jnp.finfo(dtype).eps < 1e-10 else 1e7
+        dbl = jnp.clip(jnp.where(mbl, zbl / sbl, 0.0), 0.0, d_cap)
+        dbu = jnp.clip(jnp.where(mbu, zbu / sbu, 0.0), 0.0, d_cap)
+        drl = jnp.clip(jnp.where(mrl, zrl / srl, 0.0), 0.0, d_cap)
+        dru = jnp.clip(jnp.where(mru, zru / sru, 0.0), 0.0, d_cap)
 
         D_b = dbl + dbu
         D_r = drl + dru
@@ -159,7 +174,8 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         # complementarity diagonals z/s grow unboundedly near convergence and
         # must not inflate the shift (that freezes the dual residual).
         K = K + opts.reg * (1.0 + jnp.max(jnp.abs(jnp.diag(Hs)))) * eye
-        chol = jnp.linalg.cholesky(K)
+        chol = (xlinalg.cholesky(K) if use_blocked
+                else jnp.linalg.cholesky(K))
 
         def kkt_solve(rc_bl, rc_bu, rc_rl, rc_ru):
             """Assemble reduced rhs and back out all direction components."""
@@ -168,7 +184,8 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
             t_r = (jnp.where(mrl, (rc_rl + zrl * r_prl) / srl, 0.0)
                    - jnp.where(mru, (rc_ru + zru * r_pru) / sru, 0.0))
             rhs = -r_dual + t_b + A.T @ t_r
-            dx = jax.scipy.linalg.cho_solve((chol, True), rhs)
+            dx = (xlinalg.cho_solve(chol, rhs) if use_blocked
+                  else jax.scipy.linalg.cho_solve((chol, True), rhs))
             dy = A @ dx
             dsbl = jnp.where(mbl, dx - r_pbl, 0.0)
             dsbu = jnp.where(mbu, -dx - r_pbu, 0.0)
@@ -226,16 +243,24 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
                           jnp.minimum(max_step(zrl, dz[2], mrl),
                                       max_step(zru, dz[3], mru)))
 
-        x = x + a_p * dx
-        sbl = jnp.where(mbl, sbl + a_p * ds[0], 1.0)
-        sbu = jnp.where(mbu, sbu + a_p * ds[1], 1.0)
-        srl = jnp.where(mrl, srl + a_p * ds[2], 1.0)
-        sru = jnp.where(mru, sru + a_p * ds[3], 1.0)
-        zbl = jnp.where(mbl, zbl + a_d * dz[0], 0.0)
-        zbu = jnp.where(mbu, zbu + a_d * dz[1], 0.0)
-        zrl = jnp.where(mrl, zrl + a_d * dz[2], 0.0)
-        zru = jnp.where(mru, zru + a_d * dz[3], 0.0)
-        return (x, sbl, sbu, srl, sru, zbl, zbu, zrl, zru)
+        x_n = x + a_p * dx
+        sbl_n = jnp.where(mbl, sbl + a_p * ds[0], 1.0)
+        sbu_n = jnp.where(mbu, sbu + a_p * ds[1], 1.0)
+        srl_n = jnp.where(mrl, srl + a_p * ds[2], 1.0)
+        sru_n = jnp.where(mru, sru + a_p * ds[3], 1.0)
+        zbl_n = jnp.where(mbl, zbl + a_d * dz[0], 0.0)
+        zbu_n = jnp.where(mbu, zbu + a_d * dz[1], 0.0)
+        zrl_n = jnp.where(mrl, zrl + a_d * dz[2], 0.0)
+        zru_n = jnp.where(mru, zru + a_d * dz[3], 0.0)
+        new = (x_n, sbl_n, sbu_n, srl_n, sru_n, zbl_n, zbu_n, zrl_n, zru_n)
+        # NaN rejection: a failed factorisation near convergence must not
+        # destroy the (already good) iterate -- keep the previous state and
+        # report the stall so the adaptive loop exits.
+        good = jnp.all(jnp.stack([jnp.all(jnp.isfinite(v)) for v in new]))
+        kept = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(good, a, b), new,
+            (x, sbl, sbu, srl, sru, zbl, zbu, zrl, zru))
+        return kept, good
 
     state0 = (x0.astype(dtype), sbl, sbu, srl, sru, zbl, zbu, zrl, zru)
 
@@ -249,17 +274,20 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
 
     if opts.adaptive:
         def cond(carry):
-            it, state = carry
-            return (it < opts.max_iters) & jnp.logical_not(converged(state))
+            it, state, ok = carry
+            return (it < opts.max_iters) & ok & jnp.logical_not(converged(state))
 
         def body(carry):
-            it, state = carry
-            return it + 1, iterate(state)
+            it, state, _ = carry
+            state, good = iterate(state)
+            return it + 1, state, good
 
-        iters, state = lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), state0))
+        iters, state, _ = lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), state0, jnp.ones((), jnp.bool_)))
     else:
         def body(i, state):
-            return iterate(state)
+            return iterate(state)[0]
         state = lax.fori_loop(0, opts.max_iters, body, state0)
         iters = jnp.asarray(opts.max_iters, jnp.int32)
 

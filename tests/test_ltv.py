@@ -64,7 +64,7 @@ def test_kinematic_qp_matches_slsqp(circ):
     u_lb, u_ub = ltv._control_bounds(mpc, N, jnp.float64)
     H, g, A, lb, ub, lbA, ubA, const = ltv.assemble_condensed_qp(
         A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, [1e8], groups,
-        u_lb, u_ub, x_lin, u_lin)
+        u_lb, u_ub)
 
     H_n, g_n, A_n = np.asarray(H), np.asarray(g), np.asarray(A)
     lb_n, ub_n = np.asarray(lb), np.asarray(ub)
