@@ -91,7 +91,13 @@ def ms_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
 
     def sqp_iter(carry, _):
         x_lin, u_lin = carry
-        Ad, Bd, dd = integrators.linearize_discrete(step, x_lin, u_lin)
+        # Newton linearisation of the defect x_i = step(x_{i-1}, u_i): the
+        # step is linearised at its ORIGIN state (reference NMPC Jacobians,
+        # ``rk2_nmpc_kinematic_curvilinear.m:166-199``) -- destination-state
+        # linearisation (the LTV convention) leaves an O(step^2) fixed-point
+        # bias in the defects.
+        x_pre = jnp.concatenate([x0[None], x_lin[:-1]], axis=0)
+        Ad, Bd, dd = integrators.linearize_discrete(step, x_pre, u_lin)
         A_bar, B_bar, d_bar = condense(Ad, Bd, dd)
         groups = [
             cons.state_box_group([3, 4], np.array([0.0, -mpc.delta_max]),
@@ -143,9 +149,10 @@ def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
 
     def sqp_iter(carry, _):
         x_lin, u_lin = carry
-        Ad, Bd, dd = integrators.linearize_discrete(step, x_lin, u_lin)
-        A_bar, B_bar, d_bar = condense(Ad, Bd, dd)
+        # origin-state Newton linearisation (see ms_nmpc_kinematic)
         x_pre = jnp.concatenate([x0[None], x_lin[:-1]], axis=0)
+        Ad, Bd, dd = integrators.linearize_discrete(step, x_pre, u_lin)
+        A_bar, B_bar, d_bar = condense(Ad, Bd, dd)
         groups = [
             cons.state_box_group([3, 6], np.array([0.0, -mpc.delta_max]),
                                  np.array([np.inf, mpc.delta_max]),
