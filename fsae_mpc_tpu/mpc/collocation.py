@@ -150,7 +150,8 @@ def trapezoidal_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
 def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
                              mpc: MPCParams, x_init, u_init,
                              opts: ipm.IpmOptions = ipm.IpmOptions(),
-                             sqp_iters: int = 3) -> SqpResult:
+                             sqp_iters: int = 3,
+                             trust_u=(4.0, 0.3)) -> SqpResult:
     """Trapezoidal C-NMPC, dynamic model
     (``trapezoidal_nmpc_dynamic_curvilinear.m``): exact friction-ellipse
     rows at every collocation point (incl. point 0 through its control),
@@ -186,9 +187,12 @@ def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
                                         state_rows=fr_rows,
                                         ctrl_cols=fr_cols),
         ]
+        tr = jnp.asarray(trust_u, dtype)
+        lb_eff = jnp.maximum(u_lb, u_pts - tr)
+        ub_eff = jnp.minimum(u_ub, u_pts + tr)
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
-            [mpc.w_track, mpc.w_slip], groups, u_lb, u_ub)
+            [mpc.w_track, mpc.w_slip], groups, lb_eff, ub_eff)
         res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
         u_new = res.x[:(N + 1) * 2].reshape(N + 1, 2)
 

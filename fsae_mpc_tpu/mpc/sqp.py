@@ -126,7 +126,8 @@ def ms_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
 def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
                     mpc: MPCParams, x_init, u_init,
                     opts: ipm.IpmOptions = ipm.IpmOptions(),
-                    stepper: str = "rk2", sqp_iters: int = 3) -> SqpResult:
+                    stepper: str = "rk2", sqp_iters: int = 3,
+                    trust_u=(4.0, 0.3)) -> SqpResult:
     """Multiple-shooting NMPC, dynamic model.
 
     Equivalent problem to ``{euler,rk2,rk4}_nmpc_dynamic_curvilinear.m``:
@@ -135,6 +136,12 @@ def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
     (``rk2_nmpc_dynamic_curvilinear.m:102-113``), track softening 1e8,
     tyre softening 1e5, acceleration unbounded (the ellipse bounds it).
     Slack order: [track, tyre].
+
+    ``trust_u``: per-component trust region |u - u_lin| <= trust_u for the
+    QP subproblem.  The quadratic (u1/al)^2 ellipse term has zero gradient
+    at u_lin ~ 0, so an unguarded linearised subproblem can command huge
+    braking; the trust region keeps the model honest and is inactive at the
+    SQP fixed point (no effect on the converged solution).
     """
     N = mpc.n_steps
     dtype = x_init.dtype
@@ -163,9 +170,12 @@ def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
             cons.friction_ellipse_group(x_pre, u_lin, mpc, params, slack=1,
                                         state_rows=pre_rows),
         ]
+        tr = jnp.asarray(trust_u, dtype)
+        lb_eff = jnp.maximum(u_lb, u_lin - tr)
+        ub_eff = jnp.minimum(u_ub, u_lin + tr)
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
-            [mpc.w_track, mpc.w_slip], groups, u_lb, u_ub)
+            [mpc.w_track, mpc.w_slip], groups, lb_eff, ub_eff)
         res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
         u_new = res.x[:N * 2].reshape(N, 2)
         x_new = rollout(Ad, Bd, dd, x0, u_new)

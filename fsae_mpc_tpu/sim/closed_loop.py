@@ -29,7 +29,7 @@ from ..config import MPCParams, VehicleParams, VEL_PID, STEER_PID
 from ..models import cartesian as cart
 from ..models import curvilinear as cm
 from ..models import integrators, transforms, pid
-from ..mpc import ltv
+from ..mpc import ltv, sqp, collocation
 from ..ops import ipm
 
 
@@ -38,8 +38,11 @@ class SimConfig:
     """Static simulation configuration (``main.m:25-40,62``)."""
 
     model: str = "kinematic"        # "kinematic" | "dynamic"
+    mode: str = "ltv"               # "ltv" | "ms-nmpc" | "c-nmpc"
+                                    # (main.m:25-26 MODE/MODEL flags)
     n_ticks: int = 1000
     n_substeps: int = 10
+    sqp_iters: int = 3              # SQP iterations per tick (NMPC modes)
     mpc: MPCParams = MPCParams()
     ipm: ipm.IpmOptions = ipm.IpmOptions()
     slack_eps: float = 1e-6         # slack-activation threshold (MATLAB: != 0)
@@ -83,6 +86,8 @@ def _initial_guess(cfg: SimConfig, dtype):
     """MPC warm-start trajectory (``main.m:44-48``): quadratic arclength,
     linear velocity ramp at 10 m/s^2, constant accel control."""
     N = cfg.mpc.n_steps
+    if cfg.mode == "c-nmpc":
+        N = N + 1  # collocation keeps the initial point (main.m:50-51)
     dt = cfg.mpc.dt
     nx = 5 if cfg.model == "kinematic" else 7
     t = dt * jnp.arange(1, N + 1, dtype=dtype)
@@ -126,7 +131,29 @@ def simulate(track, params: VehicleParams = VehicleParams(),
 
     x_opt0, u_opt0 = _initial_guess(cfg, dtype)
 
-    solver = ltv.ltv_mpc_kinematic if kinematic else ltv.ltv_mpc_dynamic
+    from ..models import curvilinear as _cm
+    from ..models import integrators as _integ
+    if kinematic:
+        _f = lambda x, u: _cm.f_curv_kin(x, u, track, params)
+    else:
+        _f = lambda x, u: _cm.f_curv_dyn_only(x, u, track, params)
+    _step = lambda x, u: _integ.rk2_step(_f, x, u, cfg.mpc.dt)
+
+    if cfg.mode == "ltv":
+        solver = ltv.ltv_mpc_kinematic if kinematic else ltv.ltv_mpc_dynamic
+    elif cfg.mode == "ms-nmpc":
+        base = sqp.ms_nmpc_kinematic if kinematic else sqp.ms_nmpc_dynamic
+        solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts:
+                  base(x0, x_ref, track, params, mpc, *sqp.shift_trajectory(
+                      x_lin, u_lin, _step), opts, sqp_iters=cfg.sqp_iters))
+    elif cfg.mode == "c-nmpc":
+        base = (collocation.trapezoidal_nmpc_kinematic if kinematic
+                else collocation.trapezoidal_nmpc_dynamic)
+        solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts:
+                  base(x0, x_ref, track, params, mpc, *sqp.shift_trajectory(
+                      x_lin, u_lin, _step), opts, sqp_iters=cfg.sqp_iters))
+    else:
+        raise ValueError(f"unknown mode {cfg.mode}")
 
     def plant_substeps(x, v_ref, delta_ref, pids):
         vel_pid, steer_pid = pids
@@ -161,8 +188,11 @@ def simulate(track, params: VehicleParams = VehicleParams(),
 
         res = solver(x0, x_ref, track, params, cfg.mpc, x_opt, u_opt, cfg.ipm)
 
-        v_ref = res.x_opt[0, 3]
-        delta_ref = res.x_opt[0, nx - 1]
+        # actuation setpoints: first predicted stage (main.m:167-173); for
+        # collocation the first *free* point is index 1 (point 0 is x0)
+        lead = 1 if cfg.mode == "c-nmpc" else 0
+        v_ref = res.x_opt[lead, 3]
+        delta_ref = res.x_opt[lead, nx - 1]
         x_new, pids_new = plant_substeps(x, v_ref, delta_ref, pids)
 
         # freeze everything once the lap is complete
