@@ -2,18 +2,22 @@
 
 Re-designs ``mpc/nonlinear/minimum_time_planner.m`` (kinematic, N=1000
 Euler nodes) and ``mpc/nonlinear/dynamic_minimum_time_planner.m`` (dynamic,
-N=500 trapezoidal nodes) as SQP loops with **periodic condensing**: the
-linearised wrap-around defect chain is closed through
+N=500 trapezoidal nodes) as SQP loops with **partial condensing**:
 
-    y_1 = (I - Phi_N)^{-1} (B_N u + d_N)
-
-so every node state becomes affine in the controls and each SQP subproblem
-is a dense QP over the 2N controls (+ slacks), solved by the batched IPM.
-The lap-time objective  sum_i ds / s_dot(y_i, s_i)  is expanded to second
-order per node (autodiff gradient + Hessian, Gershgorin-shifted to PSD),
-replacing IPOPT's L-BFGS model with an exact local model.  A 4-point
-backtracking line search on the exact merit (cost + rho |defect|_1)
-globalises the cold-started iteration; everything jits.
+* The lap is split into K segments of M nodes.  Within a segment the
+  linearised defect chain is condensed by a scan (vmapped over segments),
+  so interior states become affine in (segment boundary state, segment
+  controls).  Full-lap condensing is numerically impossible here -- the
+  transition product over ~200 m of vehicle dynamics overflows -- while
+  segment products stay O(1e2..1e4).
+* Segment boundary states remain decision variables; periodicity is K
+  tight equality rows  end(segment k) = boundary k+1 (mod K)  handed to
+  the same dense IPM as everything else.
+* The lap-time objective  sum_i ds / s_dot(y_i, s_i)  is expanded to
+  second order per node (autodiff gradient + Hessian, Gershgorin-shifted
+  to PSD), replacing IPOPT's L-BFGS model with an exact local model.
+* A 4-point backtracking line search on the exact merit
+  (cost + rho |defect|_1) globalises the cold-started iteration.
 """
 
 from __future__ import annotations
@@ -29,7 +33,6 @@ from jax import lax
 from ..config import VehicleParams
 from ..models import curvilinear as cm
 from ..ops import ipm
-from ..ops.linalg import solve_unrolled
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,64 +53,97 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
-def _condense_periodic(Ad, Bd, dd):
-    """Closed-chain condensing: per-node affine maps y_i = M_i u + c_i
-    (node 1 = the wrap state) from y_{i+1} = Ad_i y_i + Bd_i u_i + dd_i
-    with the periodic closure y_{N+1} = y_1
-    (reference wrap: ``minimum_time_planner.m:134,148``)."""
-    N, ny, nu = Bd.shape
-    dtype = Ad.dtype
+def _segment_condense(Ad, Bd, dd, K, M):
+    """Per-segment condensing (vmapped scan).
 
-    def step(carry, inp):
-        phi, G, delta = carry
-        i, A_i, B_i, d_i = inp
-        phi = A_i @ phi
-        G = A_i @ G
-        G = lax.dynamic_update_slice(G, B_i, (jnp.int32(0), i * nu))
-        delta = A_i @ delta + d_i
-        return (phi, G, delta), (phi, G, delta)
+    Inputs reshaped to (K, M, ...).  Returns, for each segment k and step
+    j = 0..M-1, the affine map of the post-step state
+    y_{kM+j+1} = A[k,j] xb_k + B[k,j] u_seg_k + d[k,j].
+    """
+    ny = Ad.shape[-1]
+    nu = Bd.shape[-1]
+    Ad = Ad.reshape(K, M, ny, ny)
+    Bd = Bd.reshape(K, M, ny, nu)
+    dd = dd.reshape(K, M, ny)
 
-    init = (jnp.eye(ny, dtype=dtype), jnp.zeros((ny, N * nu), dtype),
-            jnp.zeros((ny,), dtype))
-    idx = jnp.arange(N, dtype=jnp.int32)
-    _, (Phi, G, delta) = lax.scan(step, init, (idx, Ad, Bd, dd))
+    def seg(Ad_s, Bd_s, dd_s):
+        def step(carry, inp):
+            phi, G, delta = carry
+            j, A_j, B_j, d_j = inp
+            phi = A_j @ phi
+            G = A_j @ G
+            G = lax.dynamic_update_slice(G, B_j, (jnp.int32(0), j * nu))
+            delta = A_j @ delta + d_j
+            return (phi, G, delta), (phi, G, delta)
 
-    I = jnp.eye(ny, dtype=dtype)
-    S = solve_unrolled(I - Phi[-1], G[-1])            # (ny, N*nu)
-    t0 = solve_unrolled(I - Phi[-1], delta[-1][:, None])[:, 0]
+        init = (jnp.eye(ny, dtype=Ad_s.dtype),
+                jnp.zeros((ny, M * nu), Ad_s.dtype),
+                jnp.zeros((ny,), Ad_s.dtype))
+        idx = jnp.arange(M, dtype=jnp.int32)
+        _, out = lax.scan(step, init, (idx, Ad_s, Bd_s, dd_s))
+        return out
 
-    M_rest = jnp.einsum("nij,jk->nik", Phi[:-1], S) + G[:-1]
-    c_rest = jnp.einsum("nij,j->ni", Phi[:-1], t0) + delta[:-1]
-    M = jnp.concatenate([S[None], M_rest], axis=0)    # node i -> row i-1
-    c = jnp.concatenate([t0[None], c_rest], axis=0)
-    return M, c
+    return jax.vmap(seg)(Ad, Bd, dd)   # (K, M, ny, ny), (K,M,ny,M*nu), (K,M,ny)
 
 
-def _psd_shift(Hs):
-    """Gershgorin shift to make per-node Hessians PSD (no eigh custom call)."""
-    diag = jnp.diagonal(Hs, axis1=-2, axis2=-1)
-    radius = jnp.sum(jnp.abs(Hs), axis=-1) - jnp.abs(diag)
-    lam_min = jnp.min(diag - radius, axis=-1)
-    shift = jnp.maximum(0.0, -lam_min) + 1e-8
-    return Hs + shift[..., None, None] * jnp.eye(Hs.shape[-1], dtype=Hs.dtype)
+def _node_maps(A_seg, B_seg, d_seg, K, M, ny, nu, nv, nu_total):
+    """Dense affine maps y_i = P_i v + q_i for all N nodes over the decision
+    vector v = [u (N*nu), xb (K*ny), slacks].  Node kM is the boundary
+    variable itself; node kM+j (j>=1) uses segment row j-1."""
+    dtype = A_seg.dtype
+    N = K * M
+    eye = jnp.eye(ny, dtype=dtype)
+
+    def per_segment(k):
+        # rows for nodes kM + j, j=0..M-1: node kM is the boundary variable
+        # itself (identity selector), nodes kM+j use condensed rows j-1
+        rows_x = jnp.concatenate([eye[None], A_seg[k, :M - 1]], axis=0)
+        rows_u = jnp.concatenate(
+            [jnp.zeros((1,) + B_seg.shape[2:], dtype), B_seg[k, :M - 1]],
+            axis=0)
+        qk = jnp.concatenate(
+            [jnp.zeros((1, ny), dtype), d_seg[k, :M - 1]], axis=0)
+        Pk = jnp.zeros((M, ny, nv), dtype)
+        Pk = lax.dynamic_update_slice(
+            Pk, rows_x,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(nu_total) + k * ny))
+        Pk = lax.dynamic_update_slice(
+            Pk, rows_u,
+            (jnp.int32(0), jnp.int32(0), k * jnp.int32(B_seg.shape[-1])))
+        return Pk, qk
+
+    P, q = jax.vmap(per_segment)(jnp.arange(K, dtype=jnp.int32))
+    return P.reshape(N, ny, nv), q.reshape(N, ny)
 
 
 def _plan_sqp(defect_fn, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
-              u_lb, u_ub, n_soft, soft_w, opts, iters, rho=1e3):
-    """Shared periodic-planner SQP loop.
+              u_lb, u_ub, n_soft, soft_w, opts, iters, seg_len: int,
+              rho=1e3):
+    """Shared periodic-planner SQP loop with partial condensing.
 
-    defect_fn(i, y_i, u_i) -> y_{i+1}: the (Euler/trapezoidal-resolved)
-       step map in s; the wrap is closed by periodic condensing.
-    time_of(y, s) -> node traversal time.
+    defect_fn(i, y_i, u_i) -> y_{i+1}: step map in s (wrap via equality
+    rows).  time_of(y, s) -> node traversal time.
     row_groups: list of (sel_fn(y, u) -> values, lb, ub, slack_idx).
     """
     N, ny = y0.shape
     nu = u0.shape[1]
     dtype = y0.dtype
+    M = seg_len
+    assert N % M == 0, "segment length must divide node count"
+    K = N // M
+    nu_total = N * nu
+    nv = nu_total + K * ny + n_soft
 
     t_grad = jax.vmap(jax.grad(time_of, argnums=0), in_axes=(0, 0))
     t_hess = jax.vmap(jax.hessian(time_of, argnums=0), in_axes=(0, 0))
     t_val = jax.vmap(time_of, in_axes=(0, 0))
+
+    def _psd_shift(Hs):
+        diag = jnp.diagonal(Hs, axis1=-2, axis2=-1)
+        radius = jnp.sum(jnp.abs(Hs), axis=-1) - jnp.abs(diag)
+        lam_min = jnp.min(diag - radius, axis=-1)
+        shift = jnp.maximum(0.0, -lam_min) + 1e-8
+        return Hs + shift[..., None, None] * jnp.eye(ny, dtype=Hs.dtype)
 
     def defect_jacobians(y, u):
         def one(i, y_i, u_i):
@@ -130,32 +166,60 @@ def _plan_sqp(defect_fn, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
     def sqp_iter(carry, _):
         y, u = carry
         Ad, Bd, dd = defect_jacobians(y, u)
-        M, c = _condense_periodic(Ad, Bd, dd)        # y_i = M_i u + c_i
+        A_seg, B_seg, d_seg = _segment_condense(Ad, Bd, dd, K, M)
+        P, q = _node_maps(A_seg, B_seg, d_seg, K, M, ny, nu, nv, nu_total)
 
-        # quadratic objective model over u
+        # ---- objective model --------------------------------------------
         gt = t_grad(y, s_nodes)
         Ht = _psd_shift(t_hess(y, s_nodes))
         Wq = 2.0 * jax.vmap(jnp.diag)(q_reg) + Ht
         gy = 2.0 * q_reg * y + gt
-        H_u = jnp.einsum("nri,nrs,nsj->ij", M, Wq, M)
-        H_u = H_u + jnp.diag(2.0 * r_reg.reshape(-1))
-        g_u = jnp.einsum("nri,nr->i", M,
-                         gy + jnp.einsum("nrs,ns->nr", Wq, c - y))
+        H_v = jnp.einsum("nri,nrs,nsj->ij", P, Wq, P)
+        H_v = H_v.at[:nu_total, :nu_total].add(jnp.diag(2.0 * r_reg.reshape(-1)))
+        g_v = jnp.einsum("nri,nr->i", P,
+                         gy + jnp.einsum("nrs,ns->nr", Wq, q - y))
 
-        nv = N * nu + n_soft
-        H = jnp.zeros((nv, nv), dtype).at[:N * nu, :N * nu].set(H_u)
-        gvec = jnp.zeros((nv,), dtype).at[:N * nu].set(g_u)
+        H = H_v
+        gvec = g_v
         if n_soft:
-            gvec = gvec.at[N * nu:].set(jnp.asarray(soft_w, dtype))
+            gvec = gvec.at[nu_total + K * ny:].set(jnp.asarray(soft_w, dtype))
 
         lb_v = jnp.concatenate([
             jnp.broadcast_to(u_lb, (N, nu)).reshape(-1),
+            jnp.full((K * ny,), -jnp.inf, dtype),
             jnp.zeros((n_soft,), dtype)])
         ub_v = jnp.concatenate([
             jnp.broadcast_to(u_ub, (N, nu)).reshape(-1),
+            jnp.full((K * ny,), jnp.inf, dtype),
             jnp.full((n_soft,), jnp.inf, dtype)])
 
-        A_rows, lbs, ubs = [], [], []
+        # ---- periodicity equality rows ----------------------------------
+        # end of segment k (row M-1) == boundary k+1 (mod K)
+        assert K >= 2, "need at least two segments (periodic closure)"
+
+        def eq_rows(k):
+            rows = jnp.zeros((ny, nv), dtype)
+            rows = lax.dynamic_update_slice(
+                rows, A_seg[k, M - 1],
+                (jnp.int32(0), jnp.int32(nu_total) + k * ny))
+            rows = lax.dynamic_update_slice(
+                rows, B_seg[k, M - 1], (jnp.int32(0), k * jnp.int32(M * nu)))
+            knext = jnp.mod(k + 1, K)
+            sel = -jnp.eye(ny, dtype=dtype)
+            rows = lax.dynamic_update_slice(
+                rows, sel, (jnp.int32(0), jnp.int32(nu_total) + knext * ny))
+            off = d_seg[k, M - 1]
+            return rows, off
+
+        eqA, eqOff = jax.vmap(eq_rows)(jnp.arange(K, dtype=jnp.int32))
+        eqA = eqA.reshape(K * ny, nv)
+        eqOff = eqOff.reshape(K * ny)
+
+        A_rows = [eqA]
+        lbs = [-eqOff]
+        ubs = [-eqOff]
+
+        # ---- node constraint rows ---------------------------------------
         for sel_fn, lo, hi, sidx in row_groups:
             def one(y_i, u_i):
                 v = jnp.atleast_1d(sel_fn(y_i, u_i))
@@ -163,56 +227,58 @@ def _plan_sqp(defect_fn, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
                 Ju = jnp.atleast_2d(jax.jacfwd(sel_fn, argnums=1)(y_i, u_i))
                 return v, Jy, Ju
             v0, Jy, Ju = jax.vmap(one)(y, u)
-            rows = jnp.einsum("nri,nij->nrj", Jy, M)
+            rows = jnp.einsum("nri,nij->nrj", Jy, P)
             r = v0.shape[1]
-            # scatter the direct control jacobian into each node's columns
             Ju_full = jnp.zeros(rows.shape, dtype)
             Ju_full = jax.vmap(
                 lambda Df, Dm, i: jax.lax.dynamic_update_slice(
                     Df, Dm, (jnp.int32(0), i * nu))
             )(Ju_full, Ju, jnp.arange(N, dtype=jnp.int32))
             rows = rows + Ju_full
-            off = (v0 + jnp.einsum("nri,ni->nr", Jy, c - y)
+            off = (v0 + jnp.einsum("nri,ni->nr", Jy, q - y)
                    - jnp.einsum("nri,ni->nr", Ju, u))
-            rows = rows.reshape(N * r, N * nu)
+            rows = rows.reshape(N * r, nv)
             off = off.reshape(N * r)
             lo_b = np.broadcast_to(np.asarray(lo, np.float64), (N, r)).reshape(-1)
             hi_b = np.broadcast_to(np.asarray(hi, np.float64), (N, r)).reshape(-1)
             si = np.broadcast_to(np.asarray(sidx), (N, r)).reshape(-1)
-            scol0 = jnp.zeros((N * r, n_soft), dtype)
             if np.all(si < 0):
-                A_rows.append(jnp.concatenate([rows, scol0], axis=1))
+                A_rows.append(rows)
                 lbs.append(jnp.asarray(lo_b, dtype) - off)
                 ubs.append(jnp.asarray(hi_b, dtype) - off)
             else:
                 inf_vec = jnp.full((N * r,), jnp.inf, dtype)
+                scol = nu_total + K * ny + si
                 if np.all(np.isfinite(lo_b)):
-                    sc = scol0.at[np.arange(N * r), si].set(1.0)
-                    A_rows.append(jnp.concatenate([rows, sc], axis=1))
+                    rws = rows.at[np.arange(N * r), scol].add(1.0)
+                    A_rows.append(rws)
                     lbs.append(jnp.asarray(lo_b, dtype) - off)
                     ubs.append(inf_vec)
                 if np.all(np.isfinite(hi_b)):
-                    sc = scol0.at[np.arange(N * r), si].set(-1.0)
-                    A_rows.append(jnp.concatenate([rows, sc], axis=1))
+                    rws = rows.at[np.arange(N * r), scol].add(-1.0)
+                    A_rows.append(rws)
                     lbs.append(-inf_vec)
                     ubs.append(jnp.asarray(hi_b, dtype) - off)
         A = jnp.concatenate(A_rows, axis=0)
         lbA = jnp.concatenate(lbs)
         ubA = jnp.concatenate(ubs)
 
-        res = ipm.solve_qp(H, gvec, A, lb_v, ub_v, lbA, ubA, opts,
-                           x0=jnp.concatenate(
-                               [u.reshape(-1), jnp.zeros((n_soft,), dtype)]))
-        u_full = res.x[:N * nu].reshape(N, nu)
-        slack = res.x[N * nu:]
+        xb0 = y[::M].reshape(-1)
+        v0_init = jnp.concatenate(
+            [u.reshape(-1), xb0, jnp.zeros((n_soft,), dtype)])
+        res = ipm.solve_qp(H, gvec, A, lb_v, ub_v, lbA, ubA, opts, x0=v0_init)
+        u_full = res.x[:nu_total].reshape(N, nu)
+        slack = res.x[nu_total + K * ny:]
         slack_cost = (jnp.sum(jnp.asarray(soft_w, dtype) * slack)
                       if n_soft else jnp.zeros((), dtype))
 
         du = u_full - u
+        dv = res.x - v0_init
 
         def try_alpha(alpha):
-            u_a = u + alpha * du
-            y_a = jnp.einsum("nij,j->ni", M, u_a.reshape(-1)) + c
+            v_a = v0_init + alpha * dv
+            u_a = v_a[:nu_total].reshape(N, nu)
+            y_a = jnp.einsum("nij,j->ni", P, v_a) + q
             m, dmax = merit(y_a, u_a, slack_cost)
             return m, (y_a, u_a, dmax)
 
@@ -232,7 +298,8 @@ def minimum_time_planner_kinematic(track,
                                    params: VehicleParams = VehicleParams(),
                                    n_nodes: int = 1000,
                                    opts: ipm.IpmOptions = ipm.IpmOptions(),
-                                   iters: int = 30) -> PlannerResult:
+                                   iters: int = 30,
+                                   seg_len: int = 8) -> PlannerResult:
     """Kinematic min-time raceline (``minimum_time_planner.m``).
 
     Node state [n, mu, v, delta], controls [a, delta_d]; Euler defects in s
@@ -252,7 +319,9 @@ def minimum_time_planner_kinematic(track,
         return v * jnp.cos(mu + beta) / (1.0 - n * k)
 
     def time_of(y, s):
-        return ds / s_dot(y, s)
+        # clamp: the line search may probe states with s_dot <= 0; the time
+        # model must stay finite (merit then rejects via the defect term)
+        return ds / jnp.maximum(s_dot(y, s), 0.3)
 
     def step_map(i, y, u):
         s = s_nodes[i]
@@ -260,6 +329,7 @@ def minimum_time_planner_kinematic(track,
         beta = jnp.arctan(params.lr_ratio * jnp.tan(delta))
         k = track.curvature(s)
         sd = v * jnp.cos(mu + beta) / (1.0 - n * k)
+        sd = jnp.where(jnp.abs(sd) < 0.3, 0.3, sd)
         y_d = jnp.stack([v * jnp.sin(mu + beta),
                          v * jnp.sin(beta) / params.lr - sd * k,
                          u[0], u[1]]) / sd
@@ -279,7 +349,7 @@ def minimum_time_planner_kinematic(track,
 
     y, u, t_node, slack, merit, dnorm = _plan_sqp(
         step_map, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
-        u_lb, u_ub, 0, [], opts, iters)
+        u_lb, u_ub, 0, [], opts, iters, seg_len)
     return PlannerResult(y_opt=y, u_opt=u, t_node=t_node,
                          lap_time=jnp.sum(t_node), slack=slack,
                          merit=merit, defect_norm=dnorm)
@@ -289,13 +359,14 @@ def minimum_time_planner_dynamic(track,
                                  params: VehicleParams = VehicleParams(),
                                  n_nodes: int = 500,
                                  opts: ipm.IpmOptions = ipm.IpmOptions(),
-                                 iters: int = 40) -> PlannerResult:
+                                 iters: int = 40,
+                                 seg_len: int = 4) -> PlannerResult:
     """Dynamic min-time raceline (``dynamic_minimum_time_planner.m``).
 
     Node state [n, mu, x_d, y_d, theta_d, delta] (s removed), controls
-    [a, delta_d]; trapezoidal s-domain defects with periodic wrap
-    (``:137-149``); friction-ellipse utilisation <= 0.75 with slack
-    (w=1e5) and track softening |n| <= 0.5 with slack (w=1e8)
+    [a, delta_d]; Heun (trapezoidal-predictor) s-domain defects with
+    periodic wrap (``:137-149``); friction-ellipse utilisation <= 0.75
+    softened at w=1e5 and track softening |n| <= 0.5 at w=1e8
     (``:44-45,158-168``).  Slack order [track, tyre].
     """
     dtype = track.px.dtype
@@ -303,31 +374,25 @@ def minimum_time_planner_dynamic(track,
     ds = track.L / N
     s_nodes = ds * jnp.arange(N, dtype=dtype)
 
+    u_dummy = jnp.zeros((2,), dtype)
+
     def full_state(y, s):
         return jnp.concatenate([jnp.stack([s]), y])
 
     def y_prime(y, u, s):
-        """dy/ds = f_curv_dyn([s; y], u) / s_dot."""
-        x_full = full_state(y, s)
-        f, _ = cm.f_curv_dyn(x_full, u, track, params)
-        return f[1:] / f[0], f[0]
+        f, _ = cm.f_curv_dyn(full_state(y, s), u, track, params)
+        sd = jnp.where(jnp.abs(f[0]) < 0.3, 0.3, f[0])
+        return f[1:] / sd, sd
 
     def time_of(y, s):
-        x_full = full_state(y, s)
-        f, _ = cm.f_curv_dyn(x_full, u_dummy, track, params)
-        return ds / f[0]
-
-    # s_dot of the dynamic model does not depend on u; use a zero control
-    u_dummy = jnp.zeros((2,), dtype)
+        f, _ = cm.f_curv_dyn(full_state(y, s), u_dummy, track, params)
+        return ds / jnp.maximum(f[0], 0.3)
 
     def step_map(i, y, u):
-        """Heun (trapezoidal-predictor) step in s, the explicit resolution
-        of the reference's trapezoidal defect."""
         s = s_nodes[i]
-        s_next = s + ds
         k1, _ = y_prime(y, u, s)
         y_pred = y + ds * k1
-        k2, _ = y_prime(y_pred, u, s_next)
+        k2, _ = y_prime(y_pred, u, s + ds)
         return y + 0.5 * ds * (k1 + k2)
 
     y0 = jnp.zeros((N, 6), dtype).at[:, 2].set(10.0)   # x_d init (:66-67)
@@ -343,15 +408,11 @@ def minimum_time_planner_dynamic(track,
                 + (uu[0] / params.al_max) ** 2)
 
     row_groups = [
-        # hard: x_d >= 0, delta in +-0.4
         (lambda y, u: y[jnp.asarray([2, 5])],
          np.array([0.0, -0.4]), np.array([np.inf, 0.4]),
          np.array([-1, -1])),
-        # soft track: |n| <= 0.5 + sigma_track
         (lambda y, u: y[jnp.asarray([0])],
          np.array([-0.5]), np.array([0.5]), np.array([0])),
-        # soft tyre: friction-ellipse utilisation <= 0.75 + sigma_tyre
-        # (``dynamic_minimum_time_planner.m:158-168``)
         (friction, np.array([-np.inf]), np.array([0.75]), np.array([1])),
     ]
     u_lb = jnp.asarray([-10.0, -0.4], dtype)
@@ -359,7 +420,7 @@ def minimum_time_planner_dynamic(track,
 
     y, u, t_node, slack, merit, dnorm = _plan_sqp(
         step_map, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
-        u_lb, u_ub, 2, [1e8, 1e5], opts, iters)
+        u_lb, u_ub, 2, [1e8, 1e5], opts, iters, seg_len)
     return PlannerResult(y_opt=y, u_opt=u, t_node=t_node,
                          lap_time=jnp.sum(t_node), slack=slack,
                          merit=merit, defect_norm=dnorm)
