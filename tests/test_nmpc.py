@@ -62,7 +62,7 @@ def _slsqp_polish(x0, x_ref, track, mpc, N, z0, scale):
     optimal, SLSQP cannot materially improve it."""
     nx, nu = 5, 2
     f = lambda x, u: cm.f_curv_kin(x, u, track, P)
-    step = lambda x, u: integrators.rk2_step(f, x, u, mpc.dt)
+    step = jax.jit(lambda x, u: integrators.rk2_step(f, x, u, mpc.dt))
     step_np = lambda x, u: np.asarray(step(jnp.asarray(x), jnp.asarray(u)))
 
     q = np.array([5.0, 250.0, 2000.0, 0.0, 0.0])
@@ -99,7 +99,7 @@ def _slsqp_polish(x0, x_ref, track, mpc, N, z0, scale):
     return minimize(obj, z0, bounds=bnds, method="SLSQP",
                     constraints=[{"type": "eq", "fun": defects},
                                  {"type": "ineq", "fun": ineq}],
-                    options={"maxiter": 300, "ftol": 1e-14}), obj
+                    options={"maxiter": 80, "ftol": 1e-14}), obj
 
 
 def test_ms_kinematic_is_nlp_optimal(circ):
