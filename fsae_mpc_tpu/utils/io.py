@@ -20,8 +20,8 @@ def read_raceline_csv(path: str) -> dict:
     right/left cone lines rX,rY,lX,lY (``util/read_raceline_csv.m:6-19``).
     """
     try:
-        from ..runtime import native_csv  # optional C++ fast path
-        data = native_csv.read_matrix(path)
+        from ..runtime import native_lib  # optional C++ fast path
+        data = native_lib.read_matrix(path)
     except Exception:
         data = np.genfromtxt(path, delimiter=",", skip_header=1, dtype=np.float64)
     if data.ndim != 2 or data.shape[1] < len(_COLUMNS):
