@@ -147,6 +147,211 @@ def trapezoidal_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
                      fval=last[1], qp=last[2])
 
 
+def _hs_stages(f, x_knots, x_mids, u_pts, dt):
+    """Linearised Hermite-Simpson interval maps in absolute coordinates.
+
+    Points: knots x_0..x_N (x_knots, (N+1, nx)) and midpoints (N, nx);
+    controls u at all 2N+1 points (u_pts).  The midpoint-interpolation
+    constraint  (x_p + x_q)/2 + dt/8 (f_p - f_q) = x_m  is solved for x_m
+    and substituted into the Simpson defect
+    x_p - x_q + dt/6 (f_p + 4 f_m + f_q) = 0
+    (``hs_nmpc_kinematic_curvilinear.m:124-125``), giving the knot
+    recurrence  M_q dx_q = G_p dx_p + (controls) + r  plus the affine
+    midpoint map.  Returns
+      (Ad, B0, B1, B2, dd)  for  x_{q} = Ad x_p + B0 u_p + B1 u_m + B2 u_q + dd
+      (Am_p, Am_q, Bm0, Bm2, dm) for x_m = Am_p x_p + Am_q x_q + Bm0 u_p
+                                         + Bm2 u_q + dm.
+    """
+    nx = x_knots.shape[1]
+    I = jnp.eye(nx, dtype=x_knots.dtype)
+    u_kn = u_pts[0::2]       # (N+1, nu) knot controls
+    u_md = u_pts[1::2]       # (N, nu) midpoint controls
+
+    fk, Ak, Bk = _linearize_continuous(f, x_knots, u_kn)
+    fm, Am, Bm = _linearize_continuous(f, x_mids, u_md)
+
+    A_p, A_q = Ak[:-1], Ak[1:]
+    B_p, B_q = Bk[:-1], Bk[1:]
+    f_p, f_q = fk[:-1], fk[1:]
+
+    # midpoint map in delta coordinates:
+    # dx_m = P dx_p + Q dx_q + (dt/8) B_p du_p - (dt/8) B_q du_q + r_m
+    P = 0.5 * I + (dt / 8.0) * A_p
+    Q = 0.5 * I - (dt / 8.0) * A_q
+    r_m = (x_knots[:-1] + x_knots[1:]) / 2.0 + (dt / 8.0) * (f_p - f_q) - x_mids
+
+    # Simpson defect linearised, substituting dx_m:
+    # [I + dt/6 A_p + (2dt/3) A_m P] dx_p + [-I + dt/6 A_q + (2dt/3) A_m Q] dx_q
+    #   + dt/6 B_p du_p + (2dt/3) B_m du_m + dt/6 B_q du_q
+    #   + (2dt/3) A_m [(dt/8)(B_p du_p - B_q du_q) + r_m] + r_s = 0
+    r_s = x_knots[:-1] - x_knots[1:] + (dt / 6.0) * (f_p + 4.0 * fm + f_q)
+    AmP = jnp.einsum("nij,njk->nik", Am, P)
+    AmQ = jnp.einsum("nij,njk->nik", Am, Q)
+    G_p = I + (dt / 6.0) * A_p + (2.0 * dt / 3.0) * AmP
+    M_q = I - (dt / 6.0) * A_q - (2.0 * dt / 3.0) * AmQ
+    C0 = (dt / 6.0) * B_p + (dt * dt / 12.0) * jnp.einsum("nij,njk->nik", Am, B_p)
+    C1 = (2.0 * dt / 3.0) * Bm
+    C2 = (dt / 6.0) * B_q - (dt * dt / 12.0) * jnp.einsum("nij,njk->nik", Am, B_q)
+    r_tot = r_s + (2.0 * dt / 3.0) * jnp.einsum("nij,nj->ni", Am, r_m)
+
+    Ad = solve_unrolled(M_q, G_p)
+    B0 = solve_unrolled(M_q, C0)
+    B1 = solve_unrolled(M_q, C1)
+    B2 = solve_unrolled(M_q, C2)
+    dr = solve_unrolled(M_q, r_tot[..., None])[..., 0]
+    # absolute offsets
+    dd = (dr + x_knots[1:]
+          - jnp.einsum("nij,nj->ni", Ad, x_knots[:-1])
+          - jnp.einsum("nij,nj->ni", B0, u_kn[:-1])
+          - jnp.einsum("nij,nj->ni", B1, u_md)
+          - jnp.einsum("nij,nj->ni", B2, u_kn[1:]))
+
+    Bm0 = (dt / 8.0) * B_p
+    Bm2 = -(dt / 8.0) * B_q
+    dm = (r_m + x_mids
+          - jnp.einsum("nij,nj->ni", P, x_knots[:-1])
+          - jnp.einsum("nij,nj->ni", Q, x_knots[1:])
+          - jnp.einsum("nij,nj->ni", Bm0, u_kn[:-1])
+          - jnp.einsum("nij,nj->ni", Bm2, u_kn[1:]))
+    return (Ad, B0, B1, B2, dd), (P, Q, Bm0, Bm2, dm)
+
+
+def hs_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
+                      mpc: MPCParams, x_init, u_init,
+                      opts: ipm.IpmOptions = ipm.IpmOptions(),
+                      sqp_iters: int = 3) -> SqpResult:
+    """Hermite-Simpson C-NMPC, kinematic model
+    (``hs_nmpc_kinematic_curvilinear.m``): 2N+1 collocation points with
+    midpoints eliminated analytically, Simpson cost weights
+    [1/6, 4/6, 2/6, ...] (``:43-44``), soft track + lateral-accel rows at
+    every interior point sharing one slack (w=1e8).
+
+    ``x_init``: (2N+1, nx) iterate over all points (point 0 pinned to x0);
+    ``u_init``: (2N+1, nu).  ``x_ref``: (N, nx) knot references (midpoint
+    references interpolated, ``:31-38``).
+    """
+    N = mpc.n_steps
+    dtype = x_init.dtype
+    nx = 5
+    nu = 2
+    f = lambda x, u: cm.f_curv_kin(x, u, track, params)
+    NC = 2 * N + 1
+
+    # Simpson cost factors over points 0..2N (``hs...m:43-44``); point 0 is
+    # fixed so only points 1..2N enter.
+    Qt = mpc.q_terminal_scale
+    qf = np.empty(NC)
+    qf[0] = 1.0 / 6.0
+    qf[1::2] = 4.0 / 6.0             # midpoints
+    qf[2::2] = 2.0 / 6.0             # interior knots
+    qf[2 * N - 2] = (1.0 + Qt) / 6.0
+    qf[2 * N - 1] = 4.0 * Qt / 6.0
+    qf[2 * N] = Qt / 6.0
+    rf = np.empty(NC)
+    rf[1::2] = 4.0 / 6.0
+    rf[0::2] = 2.0 / 6.0
+    rf[0] = rf[-1] = 1.0 / 6.0
+
+    q = jnp.zeros((nx,), dtype).at[0].set(mpc.q_s).at[1].set(mpc.q_n) \
+        .at[2].set(mpc.q_mu)
+    q_diag = jnp.concatenate([q * float(w) for w in qf[1:]])
+    r = jnp.asarray([mpc.r_a, mpc.r_delta_d], dtype)
+    r_diag = jnp.concatenate([r * float(w) for w in rf])
+
+    # references at interior points: midpoints interpolated between knots
+    x_ref_k = jnp.concatenate([x0[None], x_ref], axis=0)      # (N+1, nx)
+    x_ref_m = 0.5 * (x_ref_k[:-1] + x_ref_k[1:])
+    x_ref_all = jnp.zeros((2 * N, nx), dtype)
+    x_ref_all = x_ref_all.at[0::2].set(x_ref_m)
+    x_ref_all = x_ref_all.at[1::2].set(x_ref)
+
+    u_lb = jnp.tile(jnp.asarray([-mpc.a_max, -mpc.delta_d_max], dtype),
+                    (NC, 1))
+    u_ub = -u_lb
+    NCnu = NC * nu
+
+    def sqp_iter(carry, _):
+        x_pts, u_pts = carry
+        x_pts = x_pts.at[0].set(x0)
+        x_knots = x_pts[0::2]
+        x_mids = x_pts[1::2]
+        (Ad, B0, B1, B2, dd), (Pm, Qm, Bm0, Bm2, dm) = _hs_stages(
+            f, x_knots, x_mids, u_pts, mpc.dt)
+
+        # knot chain condensed with the (u_2i, u_2i+1, u_2i+2) coupling
+        A_bar_k, B_bar_k, d_bar_k = condense_general(
+            Ad, dd, [(B0, 0), (B1, 1), (B2, 2)], n_controls=NC,
+            ctrl_stride=2)
+
+        # knot maps including knot 0 (= x0 exactly: A=I, B=0, d=0)
+        eye = jnp.eye(nx, dtype=dtype)
+        knotA = jnp.concatenate([eye[None], A_bar_k], axis=0)
+        knotB = jnp.concatenate([jnp.zeros((1, nx, NCnu), dtype), B_bar_k],
+                                axis=0)
+        knotd = jnp.concatenate([jnp.zeros((1, nx), dtype), d_bar_k], axis=0)
+
+        # midpoint maps composed from the adjacent knots:
+        # x_m(i) = Pm_i x_knot(i) + Qm_i x_knot(i+1)
+        #          + Bm0_i u_{2i} + Bm2_i u_{2i+2} + dm_i
+        A_mid = (jnp.einsum("nij,njk->nik", Pm, knotA[:-1])
+                 + jnp.einsum("nij,njk->nik", Qm, knotA[1:]))
+        B_mid = (jnp.einsum("nij,njk->nik", Pm, knotB[:-1])
+                 + jnp.einsum("nij,njk->nik", Qm, knotB[1:]))
+        d_mid = (dm + jnp.einsum("nij,nj->ni", Pm, knotd[:-1])
+                 + jnp.einsum("nij,nj->ni", Qm, knotd[1:]))
+        idx = jnp.arange(N, dtype=jnp.int32)
+
+        def add_at(Bf, D, col):
+            cur = lax.dynamic_slice(Bf, (jnp.int32(0), col), (nx, nu))
+            return lax.dynamic_update_slice(Bf, cur + D, (jnp.int32(0), col))
+
+        B_mid = jax.vmap(lambda Bf, D, i: add_at(Bf, D, i * (2 * nu)))(
+            B_mid, Bm0, idx)
+        B_mid = jax.vmap(
+            lambda Bf, D, i: add_at(Bf, D, i * (2 * nu) + 2 * nu))(
+            B_mid, Bm2, idx)
+
+        # interleave into virtual stages 1..2N: [mid_0, knot_1, mid_1, ...]
+        A_all = jnp.zeros((2 * N, nx, nx), dtype)
+        A_all = A_all.at[0::2].set(A_mid)
+        A_all = A_all.at[1::2].set(knotA[1:])
+        B_all = jnp.zeros((2 * N, nx, NCnu), dtype)
+        B_all = B_all.at[0::2].set(B_mid)
+        B_all = B_all.at[1::2].set(knotB[1:])
+        d_all = jnp.zeros((2 * N, nx), dtype)
+        d_all = d_all.at[0::2].set(d_mid)
+        d_all = d_all.at[1::2].set(knotd[1:])
+
+        x_in = x_pts[1:]
+        u_in = u_pts[1:]
+        groups = [
+            cons.state_box_group([3, 4], np.array([0.0, -mpc.delta_max]),
+                                 np.array([np.inf, mpc.delta_max]),
+                                 np.array([-1, -1]), x_in, u_in),
+            cons.state_box_group([1], np.array([-mpc.n_max]),
+                                 np.array([mpc.n_max]), np.array([0]),
+                                 x_in, u_in),
+            cons.kinematic_tyre_group(x_in, u_in, mpc, params, slack=0),
+        ]
+        H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
+            A_all, B_all, d_all, x0, x_ref_all, q_diag, r_diag,
+            [mpc.w_track], groups, u_lb, u_ub)
+        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
+        u_new = res.x[:NCnu].reshape(NC, nu)
+
+        x_all_new = (jnp.einsum("nij,j->ni", A_all, x0)
+                     + jnp.einsum("nij,j->ni", B_all, res.x[:NCnu])
+                     + d_all)
+        x_new = jnp.concatenate([x0[None], x_all_new], axis=0)
+        return (x_new, u_new), (res.x[NCnu:], res.objective + const, res)
+
+    (x_opt, u_opt), (slacks, fvals, results) = lax.scan(
+        sqp_iter, (x_init, u_init), None, length=sqp_iters)
+    last = jax.tree_util.tree_map(lambda a: a[-1], (slacks, fvals, results))
+    return SqpResult(x_opt=x_opt, u_opt=u_opt, slack=last[0],
+                     fval=last[1], qp=last[2])
+
+
 def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
                              mpc: MPCParams, x_init, u_init,
                              opts: ipm.IpmOptions = ipm.IpmOptions(),

@@ -73,16 +73,17 @@ def condense_associative(Ad, dd):
     return A_bar, d_bar
 
 
-def condense_general(Ad, dd, B_terms, n_controls: int):
+def condense_general(Ad, dd, B_terms, n_controls: int,
+                     ctrl_stride: int = 1):
     """Condensing for recurrences whose step couples several controls:
 
-        x_{i+1} = Ad_i x_i + sum_k Bd_k[i] u_{i + off_k} + dd_i
+        x_{i+1} = Ad_i x_i + sum_k Bd_k[i] u_{i*ctrl_stride + off_k} + dd_i
 
     ``B_terms``: list of ``(Bd (N, nx, nu), offset int)``; ``n_controls`` is
-    the length of the control trajectory (>= N + max offset).  This covers
-    direct collocation, where the linearised trapezoidal defect couples
-    u_i and u_{i+1} (``trapezoidal_nmpc_kinematic_curvilinear.m:195-201``),
-    and Hermite-Simpson's (u_i, u_mid, u_{i+1}) coupling.
+    the length of the control trajectory.  This covers direct collocation,
+    where the linearised trapezoidal defect couples u_i and u_{i+1}
+    (``trapezoidal_nmpc_kinematic_curvilinear.m:195-201``, stride 1), and
+    Hermite-Simpson's (u_{2i}, u_{2i+1}, u_{2i+2}) coupling (stride 2).
 
     Returns (A_bar, B_bar, d_bar) with B_bar: (N, nx, n_controls*nu).
     """
@@ -99,7 +100,7 @@ def condense_general(Ad, dd, B_terms, n_controls: int):
         phi = A_i @ phi
         G = A_i @ G
         for (B_all, off), B_i in zip(B_terms, Bs):
-            col = (i + off) * nu
+            col = (i * ctrl_stride + off) * nu
             cur = lax.dynamic_slice(G, (jnp.int32(0), col), (nx, nu))
             G = lax.dynamic_update_slice(G, cur + B_i, (jnp.int32(0), col))
         delta = A_i @ delta + d_i

@@ -1,1 +1,2 @@
 from .io import read_raceline_csv
+from . import profiling

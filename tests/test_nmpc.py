@@ -194,3 +194,38 @@ def test_shift_trajectory(circ):
     np.testing.assert_allclose(np.asarray(x_s[:-1]), np.asarray(x_opt[1:]))
     np.testing.assert_allclose(np.asarray(x_s[-1]),
                                np.asarray(step(x_opt[-1], u_opt[-1])))
+
+
+def test_hs_kinematic_defects(circ):
+    """Hermite-Simpson: converged trajectory satisfies both the midpoint
+    interpolation and Simpson defects (``hs_nmpc_kinematic_curvilinear.m
+    :124-125``)."""
+    N = 8
+    mpc = MPCParams(n_steps=N)
+    x_ref, x_init_knots, _ = _setup(N, 5)
+    x0 = jnp.asarray([0.0, 0.1, 0.02, 8.0, 0.0])
+    # all-points init: interleave knots with midpoints
+    knots = jnp.concatenate([x0[None], x_init_knots], axis=0)
+    mids = 0.5 * (knots[:-1] + knots[1:])
+    x_init = jnp.zeros((2 * N + 1, 5))
+    x_init = x_init.at[0::2].set(knots)
+    x_init = x_init.at[1::2].set(mids)
+    u_init = jnp.zeros((2 * N + 1, 2))
+    res = collocation.hs_nmpc_kinematic(x0, x_ref, circ, P, mpc, x_init,
+                                        u_init, sqp_iters=6)
+    xs = res.x_opt
+    us = res.u_opt
+    f = lambda x, u: cm.f_curv_kin(x, u, circ, P)
+    dt = mpc.dt
+    for i in range(N):
+        xp, xm, xq = xs[2 * i], xs[2 * i + 1], xs[2 * i + 2]
+        up, um, uq = us[2 * i], us[2 * i + 1], us[2 * i + 2]
+        fp, fm_, fq = f(xp, up), f(xm, um), f(xq, uq)
+        c_mid = (xp + xq) / 2.0 + (fp - fq) * dt / 8.0 - xm
+        c_simp = xp - xq + (fp + 4.0 * fm_ + fq) * dt / 6.0
+        assert float(jnp.max(jnp.abs(c_mid))) < 1e-6, f"interval {i} mid"
+        assert float(jnp.max(jnp.abs(c_simp))) < 1e-6, f"interval {i} simpson"
+    # bounds respected at every point
+    assert np.all(np.abs(np.asarray(us[:, 1])) <= 0.4 + 1e-7)
+    assert np.all(np.abs(np.asarray(xs[1:, 1]))
+                  <= 0.75 + float(res.slack[0]) + 1e-6)

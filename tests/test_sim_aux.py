@@ -1,0 +1,61 @@
+"""Auxiliary subsystem tests: viz renders, profiling, checkpoint roundtrip,
+short batched sim."""
+
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fsae_mpc_tpu.config import MPCParams, VehicleParams
+from fsae_mpc_tpu.sim import SimConfig, simulate, checkpoint, perturbed_params, simulate_batch
+from fsae_mpc_tpu.track import load_track
+from fsae_mpc_tpu.utils import profiling
+
+
+@pytest.fixture(scope="module")
+def short_sim():
+    track, cols = load_track("data/fsg2019.csv", dtype=jnp.float64)
+    cfg = SimConfig(model="kinematic", n_ticks=25, mpc=MPCParams(n_steps=10))
+    out = jax.jit(lambda t, p: simulate(t, p, cfg))(track, VehicleParams())
+    return track, cols, out
+
+
+def test_viz_renders(tmp_path, short_sim):
+    from fsae_mpc_tpu.utils import viz
+    track, cols, out = short_sim
+    p1 = viz.plot_lap(track, out, cols, path=str(tmp_path / "lap.png"))
+    p2 = viz.plot_telemetry(out, path=str(tmp_path / "tel.png"))
+    assert os.path.getsize(p1) > 1000
+    assert os.path.getsize(p2) > 1000
+
+
+def test_profiling_timer():
+    f = jax.jit(lambda x: x @ x)
+    x = jnp.ones((64, 64))
+    dt = profiling.time_fn(f, x, reps=3)
+    assert dt > 0
+    stats = profiling.latency_stats(f, x, reps=5)
+    assert stats["max"] >= stats["median"] > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": (jnp.ones(4), 3.0)}
+    path = checkpoint.save(str(tmp_path / "ck"), tree)
+    back = checkpoint.restore(path, tree)
+    np.testing.assert_allclose(np.asarray(back["a"]), np.asarray(tree["a"]))
+    np.testing.assert_allclose(np.asarray(back["b"][0]), 1.0)
+
+
+def test_batched_sim_two_scenarios():
+    track, _ = load_track("data/fsg2019.csv", dtype=jnp.float64)
+    cfg = SimConfig(model="kinematic", n_ticks=10, mpc=MPCParams(n_steps=8))
+    params = perturbed_params(VehicleParams(), jax.random.key(0), 2,
+                              rel_sigma=0.01)
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float64),
+                                    params)
+    out = simulate_batch(track, params, cfg)
+    assert out.x_history.shape[0] == 2
+    # different vehicles -> different trajectories
+    x = np.asarray(out.x_history)
+    assert np.max(np.abs(x[0] - x[1])) > 1e-6
