@@ -43,6 +43,8 @@ class SimConfig:
     n_ticks: int = 1000
     n_substeps: int = 10
     sqp_iters: int = 3              # SQP iterations per tick (NMPC modes)
+    reference: str = "speed_ramp"   # "speed_ramp" (main.m:106-114) |
+                                    # "raceline" (planner tracking, main.m:115)
     mpc: MPCParams = MPCParams()
     ipm: ipm.IpmOptions = ipm.IpmOptions()
     slack_eps: float = 1e-6         # slack-activation threshold (MATLAB: != 0)
@@ -115,11 +117,14 @@ def _reference(cfg: SimConfig, x0, plant_vx, dtype):
 
 
 def simulate(track, params: VehicleParams = VehicleParams(),
-             cfg: SimConfig = SimConfig(), x_init=None) -> SimOutputs:
+             cfg: SimConfig = SimConfig(), x_init=None,
+             plan=None) -> SimOutputs:
     """Run one closed-loop simulation.  jit/vmap-safe.
 
     ``x_init``: optional (7,) initial Cartesian plant state (default zeros,
-    ``main.m:63``).
+    ``main.m:63``).  ``plan``: a ``PlannerResult`` (dynamic planner) when
+    ``cfg.reference == "raceline"`` -- the MPC then tracks the time-resampled
+    minimum-time raceline instead of the speed ramp.
     """
     dtype = track.px.dtype
     kinematic = cfg.model == "kinematic"
@@ -184,7 +189,14 @@ def simulate(track, params: VehicleParams = VehicleParams(),
 
         done = done | (s >= track.L)
 
-        x_ref = _reference(cfg, x0, x[3], dtype)
+        if cfg.reference == "raceline":
+            from ..planner.reference import obtain_reference as _obref
+            ds_plan = track.L / plan.t_node.shape[0]
+            x_ref = _obref(plan.y_opt, plan.u_opt, plan.t_node, ds_plan,
+                           x0[0], dt, cfg.mpc.n_steps)
+            x_ref = x_ref[:, :nx].astype(dtype)
+        else:
+            x_ref = _reference(cfg, x0, x[3], dtype)
 
         res = solver(x0, x_ref, track, params, cfg.mpc, x_opt, u_opt, cfg.ipm)
 

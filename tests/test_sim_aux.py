@@ -59,3 +59,23 @@ def test_batched_sim_two_scenarios():
     # different vehicles -> different trajectories
     x = np.asarray(out.x_history)
     assert np.max(np.abs(x[0] - x[1])) > 1e-6
+
+
+def test_raceline_tracking_sim():
+    """Closed loop tracking a dynamic-planner raceline (the reference's
+    commented obtain_reference path, main.m:20-22,115)."""
+    from fsae_mpc_tpu.planner import minimum_time_planner_dynamic
+    track, _ = load_track("data/fsg2019.csv", dtype=jnp.float64)
+    plan = minimum_time_planner_dynamic(track, VehicleParams(), n_nodes=64,
+                                        iters=15, seg_len=4)
+    cfg = SimConfig(model="dynamic", n_ticks=30, reference="raceline",
+                    mpc=MPCParams(n_steps=12))
+    out = jax.jit(lambda t, p: simulate(t, p, cfg, plan=plan))(
+        track, VehicleParams())
+    x = np.asarray(out.x_history)
+    assert np.all(np.isfinite(x))
+    # car accelerates and makes forward progress along the plan (the
+    # tracking cost weights velocity at 0 -- progress enters via s-error,
+    # so the ramp-up is gentler than speed-ramp mode)
+    assert x[-1, 3] > 0.5
+    assert x[-1, 0] > 0.3
