@@ -150,7 +150,7 @@ def _control_bounds(mpc: MPCParams, N, dtype):
 def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
                       mpc: MPCParams, x_lin, u_lin,
                       opts: ipm.IpmOptions = ipm.IpmOptions(),
-                      stepper: str = "rk2") -> LtvResult:
+                      stepper: str = "rk2", warm=None) -> LtvResult:
     """Kinematic-model LTV-MPC tick.
 
     (``mpc/ltv/kinematic/ltvmpc_kinetmatic_curvilinear.m``: RK2 linearizer,
@@ -185,7 +185,7 @@ def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
         A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, [mpc.w_track],
         groups, u_lb, u_ub)
 
-    res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
+    res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=warm)
     u_flat = res.x[:N * 2]
     u_opt = u_flat.reshape(N, 2)
     x_opt = _rollout(Ad, Bd, dd, x0, u_opt)
@@ -196,7 +196,7 @@ def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
 def ltv_mpc_dynamic(x0, x_ref, track, params: VehicleParams,
                     mpc: MPCParams, x_lin, u_lin,
                     opts: ipm.IpmOptions = ipm.IpmOptions(),
-                    stepper: str = "rk4") -> LtvResult:
+                    stepper: str = "rk4", warm=None) -> LtvResult:
     """Dynamic-model LTV-MPC tick.
 
     (``mpc/ltv/dynamic/ltvmpc_dynamic_curvilinear.m``: RK4 linearizer, four
@@ -234,7 +234,7 @@ def ltv_mpc_dynamic(x0, x_ref, track, params: VehicleParams,
         [mpc.w_track, mpc.w_slip, mpc.w_slip, mpc.w_tyre],
         groups, u_lb, u_ub)
 
-    res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
+    res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=warm)
     u_flat = res.x[:N * 2]
     u_opt = u_flat.reshape(N, 2)
     x_opt = _rollout(Ad, Bd, dd, x0, u_opt)

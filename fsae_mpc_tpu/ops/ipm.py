@@ -86,11 +86,18 @@ def _side(val, x_of, sign):
 
 
 def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
-             x0=None, dtype=None) -> IpmResult:
+             x0=None, dtype=None, warm: "IpmResult | None" = None) -> IpmResult:
     """Solve one QP instance (vmap for batches).
 
     Shapes: H (n,n), g (n,), A (m,n), lb/ub (n,), lbA/ubA (m,).
     Infinite entries in lb/ub/lbA/ubA deactivate that side.
+
+    ``warm``: a previous :class:`IpmResult` for a same-shape QP.  Primal and
+    duals are re-seeded from it (floored away from the boundary), the MPC
+    analogue of qpOASES's hot-start sequence API
+    (``qpOASES_sequence.m:20-78``) and IPOPT's zl/zu/lambda warm start
+    (``rk2_nmpc_kinematic_curvilinear.m:14-20``): sequential ticks solve
+    neighbouring QPs, so the active set barely changes.
     """
     if dtype is None:
         dtype = H.dtype
@@ -114,21 +121,35 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
     use_blocked = (opts.chol == "blocked"
                    or (opts.chol == "auto" and jax.default_backend() == "tpu"))
 
+    if warm is not None and x0 is None:
+        x0 = warm.x
     if x0 is None:
         x0 = jnp.zeros((n,), dtype)
 
+    s_floor = opts.s_init if warm is None else 1e-3
+    z_floor = opts.z_init if warm is None else 1e-3
+
     def slacks_init(y, lo, hi, ml, mu_):
-        s_l = jnp.where(ml, jnp.maximum(y - lo, opts.s_init), 1.0)
-        s_u = jnp.where(mu_, jnp.maximum(hi - y, opts.s_init), 1.0)
+        s_l = jnp.where(ml, jnp.maximum(y - lo, s_floor), 1.0)
+        s_u = jnp.where(mu_, jnp.maximum(hi - y, s_floor), 1.0)
         return s_l, s_u
 
     y0 = A @ x0
     sbl, sbu = slacks_init(x0, lb_s, ub_s, mbl, mbu)
     srl, sru = slacks_init(y0, lbA_s, ubA_s, mrl, mru)
-    zbl = jnp.where(mbl, opts.z_init, 0.0).astype(dtype)
-    zbu = jnp.where(mbu, opts.z_init, 0.0).astype(dtype)
-    zrl = jnp.where(mrl, opts.z_init, 0.0).astype(dtype)
-    zru = jnp.where(mru, opts.z_init, 0.0).astype(dtype)
+    if warm is None:
+        zbl = jnp.where(mbl, opts.z_init, 0.0).astype(dtype)
+        zbu = jnp.where(mbu, opts.z_init, 0.0).astype(dtype)
+        zrl = jnp.where(mrl, opts.z_init, 0.0).astype(dtype)
+        zru = jnp.where(mru, opts.z_init, 0.0).astype(dtype)
+    else:
+        # previous combined duals are for the UNSCALED problem; rescale
+        wzb = warm.z_bounds * c_scale
+        wzr = warm.z_rows * c_scale
+        zbl = jnp.where(mbl, jnp.maximum(wzb, z_floor), 0.0).astype(dtype)
+        zbu = jnp.where(mbu, jnp.maximum(-wzb, z_floor), 0.0).astype(dtype)
+        zrl = jnp.where(mrl, jnp.maximum(wzr, z_floor), 0.0).astype(dtype)
+        zru = jnp.where(mru, jnp.maximum(-wzr, z_floor), 0.0).astype(dtype)
 
     eye = jnp.eye(n, dtype=dtype)
 

@@ -144,8 +144,12 @@ def simulate(track, params: VehicleParams = VehicleParams(),
         _f = lambda x, u: _cm.f_curv_dyn_only(x, u, track, params)
     _step = lambda x, u: _integ.rk2_step(_f, x, u, cfg.mpc.dt)
 
+    use_warm = cfg.mode == "ltv"
     if cfg.mode == "ltv":
-        solver = ltv.ltv_mpc_kinematic if kinematic else ltv.ltv_mpc_dynamic
+        base_ltv = ltv.ltv_mpc_kinematic if kinematic else ltv.ltv_mpc_dynamic
+        solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts,
+                  warm=None: base_ltv(x0, x_ref, track, params, mpc, x_lin,
+                                      u_lin, opts, warm=warm))
     elif cfg.mode == "ms-nmpc":
         base = sqp.ms_nmpc_kinematic if kinematic else sqp.ms_nmpc_dynamic
         solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts:
@@ -177,7 +181,7 @@ def simulate(track, params: VehicleParams = VehicleParams(),
         return x, (vel_pid, steer_pid)
 
     def tick(carry, _):
-        x, x_opt, u_opt, pids, done = carry
+        x, x_opt, u_opt, pids, done, qp_prev = carry
 
         # -- project onto track (warm start: first predicted s, main.m:93) --
         s, n, mu = transforms.cartesian_to_curvilinear(
@@ -198,7 +202,12 @@ def simulate(track, params: VehicleParams = VehicleParams(),
         else:
             x_ref = _reference(cfg, x0, x[3], dtype)
 
-        res = solver(x0, x_ref, track, params, cfg.mpc, x_opt, u_opt, cfg.ipm)
+        if use_warm:
+            res = solver(x0, x_ref, track, params, cfg.mpc, x_opt, u_opt,
+                         cfg.ipm, warm=qp_prev)
+        else:
+            res = solver(x0, x_ref, track, params, cfg.mpc, x_opt, u_opt,
+                         cfg.ipm)
 
         # actuation setpoints: first predicted stage (main.m:167-173); for
         # collocation the first *free* point is index 1 (point 0 is x0)
@@ -213,6 +222,8 @@ def simulate(track, params: VehicleParams = VehicleParams(),
         u_opt = jnp.where(done, u_opt, res.u_opt)
         pids = jax.tree_util.tree_map(
             lambda a, b: jnp.where(done, a, b), pids, pids_new)
+        qp_prev = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(done, a, b), qp_prev, res.qp)
 
         fcr = cm.rear_lateral_force(
             jnp.concatenate([jnp.zeros((3,), dtype), x[3:7]]), params)
@@ -224,11 +235,27 @@ def simulate(track, params: VehicleParams = VehicleParams(),
             iters=res.qp.iterations, converged=converged,
             active=jnp.logical_not(done), fcr=fcr,
         )
-        return (x, x_opt, u_opt, pids, done), out
+        return (x, x_opt, u_opt, pids, done, qp_prev), out
 
     pids0 = (pid.pid_init(jnp.zeros((), dtype)), pid.pid_init(jnp.zeros((), dtype)))
+
+    # dual warm-start carry for the LTV mode: structure via eval_shape, seeded
+    # with zeros (floored inside the IPM on the first tick)
+    def _solve_for_shape():
+        x0_t = jnp.zeros((nx,), dtype)
+        x_ref_t = jnp.zeros((cfg.mpc.n_steps, nx), dtype)
+        if use_warm:
+            return solver(x0_t, x_ref_t, track, params, cfg.mpc, x_opt0,
+                          u_opt0, cfg.ipm)
+        return solver(x0_t, x_ref_t, track, params, cfg.mpc, x_opt0, u_opt0,
+                      cfg.ipm)
+
+    shape = jax.eval_shape(_solve_for_shape)
+    qp0 = jax.tree_util.tree_map(
+        lambda sd: jnp.zeros(sd.shape, sd.dtype), shape.qp)
+
     carry0 = (x_init.astype(dtype), x_opt0, u_opt0, pids0,
-              jnp.zeros((), jnp.bool_))
+              jnp.zeros((), jnp.bool_), qp0)
     _, tr = lax.scan(tick, carry0, None, length=cfg.n_ticks)
 
     return _summarise(tr, cfg, params, dtype)
