@@ -114,3 +114,12 @@ class MPCParams:
 
 
 DEFAULT_MPC = MPCParams()
+
+# float32 (TPU) soft-constraint profile: the reference's 1e8/1e6/1e4 weights
+# (``ltvmpc_dynamic_curvilinear.m:35``) exceed the exact-penalty threshold by
+# ~4 orders of magnitude; in float32 that dynamic range destroys the IPM's
+# KKT conditioning.  These compressed weights stay above every observed
+# constraint dual (so the minimiser is unchanged -- exact-penalty
+# equivalence, verified against the 1e8 solution in f64) while keeping the
+# scaled Hessian representable.
+MPC_F32 = MPCParams(w_track=1e5, w_slip=1e4, w_tyre=1e3)

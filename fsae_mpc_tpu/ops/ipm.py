@@ -52,6 +52,12 @@ class IpmOptions:
     s_init: float = 1.0         # initial slack floor
     z_init: float = 1.0         # initial dual value
     adaptive: bool = True       # while_loop early exit (False: fixed fori)
+    freeze: tuple | None = None  # (pres, dres, mu) scaled thresholds: once a
+                                # problem instance reaches them its iterate is
+                                # frozen.  Essential in f32: past convergence
+                                # the capped complementarity diagonals distort
+                                # the Newton system and the iterate can
+                                # diverge again (observed slack excursions).
     chol: str = "auto"          # "auto" | "lapack" | "blocked": KKT solver.
                                 # TPU lowers lapack cholesky/cho_solve to a
                                 # custom call that exhausts scoped VMEM for
@@ -176,6 +182,16 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         mu = mu_of(state)
         r_dual, r_pbl, r_pbu, r_prl, r_pru = residuals(state)
 
+        if opts.freeze is not None:
+            fp, fd, fm = opts.freeze
+            pres_now = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(r_pbl)), jnp.max(jnp.abs(r_pbu))),
+                jnp.maximum(jnp.max(jnp.abs(r_prl)), jnp.max(jnp.abs(r_pru))))
+            frozen = ((pres_now < fp) & (jnp.max(jnp.abs(r_dual)) < fd)
+                      & (mu < fm))
+        else:
+            frozen = jnp.zeros((), jnp.bool_)
+
         # diagonal complementarity scalings (masked sides contribute 0).
         # Cap them: near convergence z/s reaches 1/eps^2 and the KKT matrix
         # goes numerically indefinite (observed cond ~1e22 in f64 -> Cholesky
@@ -274,16 +290,24 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         zrl_n = jnp.where(mrl, zrl + a_d * dz[2], 0.0)
         zru_n = jnp.where(mru, zru + a_d * dz[3], 0.0)
         new = (x_n, sbl_n, sbu_n, srl_n, sru_n, zbl_n, zbu_n, zrl_n, zru_n)
-        # NaN rejection: a failed factorisation near convergence must not
-        # destroy the (already good) iterate -- keep the previous state and
-        # report the stall so the adaptive loop exits.
-        good = jnp.all(jnp.stack([jnp.all(jnp.isfinite(v)) for v in new]))
+        # NaN rejection + convergence freeze: a failed factorisation (or a
+        # post-convergence excursion) must not destroy the good iterate.
+        good = (jnp.all(jnp.stack([jnp.all(jnp.isfinite(v)) for v in new]))
+                & jnp.logical_not(frozen))
         kept = jax.tree_util.tree_map(
             lambda a, b: jnp.where(good, a, b), new,
             (x, sbl, sbu, srl, sru, zbl, zbu, zrl, zru))
         return kept, good
 
     state0 = (x0.astype(dtype), sbl, sbu, srl, sru, zbl, zbu, zrl, zru)
+
+    def score_of(state):
+        """Combined optimality score for best-iterate tracking."""
+        r_dual, r_pbl, r_pbu, r_prl, r_pru = residuals(state)
+        pres = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(r_pbl)), jnp.max(jnp.abs(r_pbu))),
+            jnp.maximum(jnp.max(jnp.abs(r_prl)), jnp.max(jnp.abs(r_pru))))
+        return pres + 10.0 * jnp.max(jnp.abs(r_dual)) + mu_of(state)
 
     def converged(state):
         r_dual, r_pbl, r_pbu, r_prl, r_pru = residuals(state)
@@ -293,24 +317,46 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         dres = jnp.max(jnp.abs(r_dual))
         return (pres < opts.tol) & (dres < opts.tol) & (mu_of(state) < opts.tol)
 
+    score0 = score_of(state0)
     if opts.adaptive:
         def cond(carry):
-            it, state, ok = carry
+            it, state, best, bscore, ok = carry
             return (it < opts.max_iters) & ok & jnp.logical_not(converged(state))
 
         def body(carry):
-            it, state, _ = carry
+            it, state, best, bscore, _ = carry
             state, good = iterate(state)
-            return it + 1, state, good
+            sc = score_of(state)
+            better = sc < bscore
+            best = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), state, best)
+            bscore = jnp.where(better, sc, bscore)
+            return it + 1, state, best, bscore, good
 
-        iters, state, _ = lax.while_loop(
+        iters, state, best, bscore, _ = lax.while_loop(
             cond, body,
-            (jnp.zeros((), jnp.int32), state0, jnp.ones((), jnp.bool_)))
+            (jnp.zeros((), jnp.int32), state0, state0, score0,
+             jnp.ones((), jnp.bool_)))
     else:
-        def body(i, state):
-            return iterate(state)[0]
-        state = lax.fori_loop(0, opts.max_iters, body, state0)
+        def body(i, carry):
+            state, best, bscore = carry
+            state, _ = iterate(state)
+            sc = score_of(state)
+            better = sc < bscore
+            best = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), state, best)
+            bscore = jnp.where(better, sc, bscore)
+            return state, best, bscore
+
+        state, best, bscore = lax.fori_loop(
+            0, opts.max_iters, body, (state0, state0, score0))
         iters = jnp.asarray(opts.max_iters, jnp.int32)
+
+    # return the best iterate seen (f32 trajectories can degrade after
+    # convergence; the last iterate is not necessarily the best)
+    final_better = score_of(state) < bscore
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(final_better, a, b), state, best)
 
     x = state[0]
     r_dual, r_pbl, r_pbu, r_prl, r_pru = residuals(state)
@@ -333,7 +379,8 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
 # float32 preset for on-TPU solves: residuals bottom out near f32 epsilon,
 # so run a fixed iteration budget with a matching tolerance and heavier
 # regularisation.
-F32_OPTS = IpmOptions(max_iters=25, tol=5e-7, reg=1e-7)
+F32_OPTS = IpmOptions(max_iters=16, tol=5e-7, reg=1e-7, adaptive=False,
+                      freeze=(1e-4, 1e-5, 1e-7))
 
 
 solve_qp_batched = jax.vmap(
