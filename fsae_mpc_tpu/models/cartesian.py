@@ -51,3 +51,33 @@ def f_cart_dyn(x, u, params: VehicleParams = VehicleParams()):
         (p.lf * Fcf * jnp.cos(delta) - p.lr * Fcr) / p.Iz,
         u[1],
     ])
+
+
+def integrate_cart_dyn(x, u, dt, params: VehicleParams = VehicleParams()):
+    """One RK6 step of the dynamic plant
+    (``cartesian_dynamic/integrate_cart_dyn.m``)."""
+    from .integrators import rk6_step
+    return rk6_step(lambda xx, uu: f_cart_dyn(xx, uu, params), x, u, dt)
+
+
+def kinematic_bicycle(x, u, dt, params: VehicleParams = VehicleParams()):
+    """One RK6 step of the kinematic bicycle
+    (``vehicle_models/kinematic_bicycle.m``)."""
+    from .integrators import rk6_step
+    return rk6_step(lambda xx, uu: f_cart_kin(xx, uu, params), x, u, dt)
+
+
+def kinematic_bicycle_horizon(x0, u_traj, dt,
+                              params: VehicleParams = VehicleParams()):
+    """Sequential rollout of the kinematic bicycle over a control
+    trajectory (``vehicle_models/kinematic_bicycle_horizon.m``); returns
+    (N+1, 5) including the initial state."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def step(x, u):
+        x_next = kinematic_bicycle(x, u, dt, params)
+        return x_next, x_next
+
+    _, xs = lax.scan(step, x0, u_traj)
+    return jnp.concatenate([x0[None], xs], axis=0)

@@ -129,3 +129,10 @@ def rear_lateral_force(x, params: VehicleParams = VehicleParams()):
     q = rear_slip_quantities(x, params)
     Fzr = params.m * params.g * params.lf / (params.lr + params.lf)
     return Fzr * pacejka(q["alpha_r"], params)
+
+
+def curvilinear_kinematic_bicycle(x, u, dt, track,
+                                  params: VehicleParams = VehicleParams()):
+    """One Euler step of the curvilinear kinematic model
+    (``vehicle_models/curvilinear_kinematic_bicycle.m``)."""
+    return x + dt * f_curv_kin(x, u, track, params)
