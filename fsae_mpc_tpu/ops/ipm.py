@@ -211,8 +211,10 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         # complementarity diagonals z/s grow unboundedly near convergence and
         # must not inflate the shift (that freezes the dual residual).
         K = K + opts.reg * (1.0 + jnp.max(jnp.abs(jnp.diag(Hs)))) * eye
-        chol = (xlinalg.cholesky(K) if use_blocked
-                else jnp.linalg.cholesky(K))
+        if use_blocked:
+            chol = xlinalg.cholesky_invdiag(K)
+        else:
+            chol = jnp.linalg.cholesky(K)
 
         def kkt_solve(rc_bl, rc_bu, rc_rl, rc_ru):
             """Assemble reduced rhs and back out all direction components."""
@@ -221,7 +223,8 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
             t_r = (jnp.where(mrl, (rc_rl + zrl * r_prl) / srl, 0.0)
                    - jnp.where(mru, (rc_ru + zru * r_pru) / sru, 0.0))
             rhs = -r_dual + t_b + A.T @ t_r
-            dx = (xlinalg.cho_solve(chol, rhs) if use_blocked
+            dx = (xlinalg.cho_solve_invdiag(chol[0], chol[1], rhs)
+                  if use_blocked
                   else jax.scipy.linalg.cho_solve((chol, True), rhs))
             dy = A @ dx
             dsbl = jnp.where(mbl, dx - r_pbl, 0.0)
@@ -379,7 +382,7 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
 # float32 preset for on-TPU solves: residuals bottom out near f32 epsilon,
 # so run a fixed iteration budget with a matching tolerance and heavier
 # regularisation.
-F32_OPTS = IpmOptions(max_iters=16, tol=5e-7, reg=1e-7, adaptive=False,
+F32_OPTS = IpmOptions(max_iters=12, tol=5e-7, reg=1e-7, adaptive=False,
                       freeze=(1e-4, 1e-5, 1e-7))
 
 

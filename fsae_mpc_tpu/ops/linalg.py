@@ -113,6 +113,94 @@ def cholesky(A, block: int | None = None):
     return L[..., :n, :n] if n_pad != n else L
 
 
+def _tri_inv_lower_small(L):
+    """Explicit inverse of a small lower-triangular (b,b) block via static
+    forward substitution on the identity."""
+    b = L.shape[-1]
+    cols = []
+    for j in range(b):
+        # solve L x = e_j
+        rows = []
+        for i in range(b):
+            if i < j:
+                rows.append(jnp.zeros_like(L[..., 0, 0]))
+                continue
+            r = jnp.where(jnp.asarray(i == j), jnp.ones_like(L[..., 0, 0]),
+                          jnp.zeros_like(L[..., 0, 0]))
+            for k in range(j, i):
+                r = r - L[..., i, k] * rows[k]
+            rows.append(r / L[..., i, i])
+        cols.append(jnp.stack(rows, axis=-1))
+    return jnp.stack(cols, axis=-1)
+
+
+def cholesky_invdiag(A, block: int | None = None):
+    """Blocked Cholesky that additionally returns the INVERTED diagonal
+    blocks, so triangular solves become pure matmuls (MXU work instead of
+    long unrolled substitution chains -- the XLA op-count killer on TPU).
+
+    Returns (L, Dinv) with Dinv: (nb, b, b) stacked inverse diagonal blocks.
+    """
+    n = A.shape[-1]
+    if block is None:
+        block = _pick_block(n)
+    assert n % block == 0, "cholesky_invdiag needs n divisible by block"
+    nb = n // block
+
+    Awork = A
+    L = jnp.zeros_like(A)
+    Dinvs = []
+    for k in range(nb):
+        lo, hi = k * block, (k + 1) * block
+        Lkk = _chol_unblocked(Awork[..., lo:hi, lo:hi])
+        Dinv = _tri_inv_lower_small(Lkk)
+        Dinvs.append(Dinv)
+        L = L.at[..., lo:hi, lo:hi].set(Lkk)
+        if hi < n:
+            panel = Awork[..., hi:, lo:hi]
+            # X Lkk^T = panel  =>  X = panel Lkk^{-T}
+            X = panel @ jnp.swapaxes(Dinv, -1, -2)
+            L = L.at[..., hi:, lo:hi].set(X)
+            trailing = Awork[..., hi:, hi:] - X @ jnp.swapaxes(X, -1, -2)
+            Awork = Awork.at[..., hi:, hi:].set(trailing)
+    return L, jnp.stack(Dinvs, axis=-3)
+
+
+def cho_solve_invdiag(L, Dinv, rhs, block: int | None = None):
+    """Solve A x = rhs from :func:`cholesky_invdiag` factors using only
+    matmuls (no unrolled substitutions)."""
+    vec = rhs.ndim == L.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    n = L.shape[-1]
+    if block is None:
+        block = _pick_block(n)
+    nb = n // block
+
+    # forward: L y = rhs
+    y_blocks = []
+    for k in range(nb):
+        lo, hi = k * block, (k + 1) * block
+        r = rhs[..., lo:hi, :]
+        for j, yb in enumerate(y_blocks):
+            jlo, jhi = j * block, (j + 1) * block
+            r = r - L[..., lo:hi, jlo:jhi] @ yb
+        y_blocks.append(Dinv[..., k, :, :] @ r)
+
+    # backward: L^T x = y
+    x_blocks = [None] * nb
+    for k in reversed(range(nb)):
+        lo, hi = k * block, (k + 1) * block
+        r = y_blocks[k]
+        for j in range(k + 1, nb):
+            jlo, jhi = j * block, (j + 1) * block
+            r = r - jnp.swapaxes(L[..., jlo:jhi, lo:hi], -1, -2) @ x_blocks[j]
+        x_blocks[k] = jnp.swapaxes(Dinv[..., k, :, :], -1, -2) @ r
+
+    x = jnp.concatenate(x_blocks, axis=-2)
+    return x[..., 0] if vec else x
+
+
 def solve_unrolled(A, B):
     """Solve A X = B for small square A via unrolled Gauss-Jordan
     (no pivoting -- intended for near-identity matrices such as the
