@@ -1,0 +1,96 @@
+"""Pod-scale scenario sweep: N scenarios x 3 tracks (BASELINE config 5).
+
+Tracks are fitted with identical segment counts, so they stack into one
+batched Track pytree; the sweep vmaps the closed-loop simulator over
+(track, vehicle) pairs and shards the combined batch across every device
+on every host.  Collectives only aggregate summary metrics.
+
+Usage (single host):   python scripts/pod_scale.py --scenarios 64
+Multi-host: launch one process per host with JAX distributed env set; the
+mesh spans all chips automatically.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenarios", type=int, default=4096,
+                    help="scenarios per track")
+    ap.add_argument("--ticks", type=int, default=1000)
+    ap.add_argument("--horizon", type=int, default=40)
+    ap.add_argument("--model", default="dynamic")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fsae_mpc_tpu.config import MPCParams, MPC_F32, VehicleParams
+    from fsae_mpc_tpu.ops import ipm
+    from fsae_mpc_tpu.parallel import make_mesh, shard_batch, BATCH_AXIS
+    from fsae_mpc_tpu.sim import SimConfig, simulate, perturbed_params
+    from fsae_mpc_tpu.track import Track, load_track
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    on_tpu = jax.default_backend() != "cpu"
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    tracks = [load_track(f"data/{name}.csv", dtype=dtype)[0]
+              for name in ("fsg2019", "fso2020", "fss2019")]
+    track_batch = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *tracks)
+
+    B = args.scenarios
+    cfg = SimConfig(model=args.model,
+                    mpc=(MPC_F32 if on_tpu else MPCParams()),
+                    ipm=(ipm.F32_OPTS if on_tpu else ipm.IpmOptions()),
+                    n_ticks=args.ticks)
+    cfg = cfg.__class__(**{**cfg.__dict__,
+                           "mpc": cfg.mpc.__class__(
+                               **{**cfg.mpc.__dict__,
+                                  "n_steps": args.horizon})})
+
+    # combined batch: 3 tracks x B scenarios
+    params = perturbed_params(VehicleParams(), jax.random.key(0), 3 * B)
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+    track_rep = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, B, axis=0), track_batch)
+
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, P(BATCH_AXIS))
+
+    def one(track, p):
+        return simulate(track, p, cfg)
+
+    fn = jax.jit(jax.vmap(one), in_shardings=(sh, sh),
+                 out_shardings=sh)
+    track_rep = shard_batch(track_rep, mesh)
+    params = shard_batch(params, mesh)
+
+    t0 = time.time()
+    out = fn(track_rep, params)
+    jax.block_until_ready(out.lap_time)
+    dt = time.time() - t0
+
+    lap = jax.device_get(out.lap_time)
+    done = jax.device_get(out.lap_done)
+    print(json.dumps({
+        "scenarios": 3 * B,
+        "devices": mesh.devices.size,
+        "wall_s": round(dt, 1),
+        "laps_done_frac": float(done.mean()),
+        "lap_time_mean": float(lap[done].mean()) if done.any() else None,
+        "lap_time_p95": float(jnp.percentile(jnp.asarray(lap[done]), 95))
+        if done.any() else None,
+        "track_violation_mean": float(jax.device_get(
+            out.track_violation).mean()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

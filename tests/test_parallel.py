@@ -52,3 +52,27 @@ def test_assert_finite():
         raise AssertionError("should have raised")
     except FloatingPointError:
         pass
+
+
+def test_multitrack_vmap():
+    """Tracks fit with equal segment counts stack into one batched Track;
+    the simulator vmaps over (track, params) pairs (pod-scale layout)."""
+    import jax.numpy as jnp
+    from fsae_mpc_tpu.track import load_track
+    from fsae_mpc_tpu.sim import SimConfig, simulate, perturbed_params
+
+    tracks = [load_track(f"data/{n}.csv", dtype=jnp.float64)[0]
+              for n in ("fsg2019", "fso2020", "fss2019")]
+    tb = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tracks)
+    cfg = SimConfig(model="kinematic", n_ticks=8,
+                    mpc=MPCParams(n_steps=8))
+    params = perturbed_params(VehicleParams(), jax.random.key(1), 3,
+                              rel_sigma=0.0)
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float64),
+                                    params)
+    out = jax.jit(jax.vmap(lambda t, p: simulate(t, p, cfg)))(tb, params)
+    assert out.x_history.shape[0] == 3
+    x = np.asarray(out.x_history)
+    assert np.all(np.isfinite(x))
+    # different tracks -> different trajectories
+    assert np.max(np.abs(x[0] - x[1])) > 1e-3
