@@ -181,14 +181,15 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         x, sbl, sbu, srl, sru, zbl, zbu, zrl, zru = state
         mu = mu_of(state)
         r_dual, r_pbl, r_pbu, r_prl, r_pru = residuals(state)
+        pres_in = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(r_pbl)), jnp.max(jnp.abs(r_pbu))),
+            jnp.maximum(jnp.max(jnp.abs(r_prl)), jnp.max(jnp.abs(r_pru))))
+        dres_in = jnp.max(jnp.abs(r_dual))
+        score_in = pres_in + 10.0 * dres_in + mu
 
         if opts.freeze is not None:
             fp, fd, fm = opts.freeze
-            pres_now = jnp.maximum(
-                jnp.maximum(jnp.max(jnp.abs(r_pbl)), jnp.max(jnp.abs(r_pbu))),
-                jnp.maximum(jnp.max(jnp.abs(r_prl)), jnp.max(jnp.abs(r_pru))))
-            frozen = ((pres_now < fp) & (jnp.max(jnp.abs(r_dual)) < fd)
-                      & (mu < fm))
+            frozen = (pres_in < fp) & (dres_in < fd) & (mu < fm)
         else:
             frozen = jnp.zeros((), jnp.bool_)
 
@@ -300,7 +301,7 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         kept = jax.tree_util.tree_map(
             lambda a, b: jnp.where(good, a, b), new,
             (x, sbl, sbu, srl, sru, zbl, zbu, zrl, zru))
-        return kept, good
+        return kept, good, score_in
 
     state0 = (x0.astype(dtype), sbl, sbu, srl, sru, zbl, zbu, zrl, zru)
 
@@ -320,7 +321,7 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         dres = jnp.max(jnp.abs(r_dual))
         return (pres < opts.tol) & (dres < opts.tol) & (mu_of(state) < opts.tol)
 
-    score0 = score_of(state0)
+    inf_score = jnp.asarray(jnp.inf, dtype)
     if opts.adaptive:
         def cond(carry):
             it, state, best, bscore, ok = carry
@@ -328,31 +329,31 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
 
         def body(carry):
             it, state, best, bscore, _ = carry
-            state, good = iterate(state)
-            sc = score_of(state)
+            # iterate returns the score of its INCOMING state (residuals are
+            # computed there anyway); track the best pre-state cheaply
+            new_state, good, sc = iterate(state)
             better = sc < bscore
             best = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(better, a, b), state, best)
             bscore = jnp.where(better, sc, bscore)
-            return it + 1, state, best, bscore, good
+            return it + 1, new_state, best, bscore, good
 
         iters, state, best, bscore, _ = lax.while_loop(
             cond, body,
-            (jnp.zeros((), jnp.int32), state0, state0, score0,
+            (jnp.zeros((), jnp.int32), state0, state0, inf_score,
              jnp.ones((), jnp.bool_)))
     else:
         def body(i, carry):
             state, best, bscore = carry
-            state, _ = iterate(state)
-            sc = score_of(state)
+            new_state, _, sc = iterate(state)
             better = sc < bscore
             best = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(better, a, b), state, best)
             bscore = jnp.where(better, sc, bscore)
-            return state, best, bscore
+            return new_state, best, bscore
 
         state, best, bscore = lax.fori_loop(
-            0, opts.max_iters, body, (state0, state0, score0))
+            0, opts.max_iters, body, (state0, state0, inf_score))
         iters = jnp.asarray(opts.max_iters, jnp.int32)
 
     # return the best iterate seen (f32 trajectories can degrade after
