@@ -18,11 +18,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _chol_unblocked(A):
-    """Cholesky of a small (b, b) SPD matrix via static column recursion.
-
-    Returns lower-triangular L.  All indexing static => vmap-friendly.
-    """
+def _chol_base(A):
+    """Cholesky of a tiny (b, b) SPD matrix via static column recursion."""
     b = A.shape[-1]
     cols = []
     for j in range(b):
@@ -42,26 +39,37 @@ def _chol_unblocked(A):
 
 def _tri_solve_lower_small(L, B):
     """Solve L X = B for small lower-triangular (b,b) L; B is (..., b, m)."""
-    b = L.shape[-1]
-    rows = []
-    for i in range(b):
-        r = B[..., i, :]
-        for k in range(i):
-            r = r - L[..., i, k][..., None] * rows[k]
-        rows.append(r / L[..., i, i][..., None])
-    return jnp.stack(rows, axis=-2)
+    return _tri_inv_lower_small(L) @ B
 
 
 def _tri_solve_upper_small(U, B):
     """Solve U X = B for small upper-triangular (b,b) U; B is (..., b, m)."""
-    b = U.shape[-1]
-    rows = [None] * b
-    for i in reversed(range(b)):
-        r = B[..., i, :]
-        for k in range(i + 1, b):
-            r = r - U[..., i, k][..., None] * rows[k]
-        rows[i] = r / U[..., i, i][..., None]
-    return jnp.stack(rows, axis=-2)
+    Li = _tri_inv_lower_small(jnp.swapaxes(U, -1, -2))
+    return jnp.swapaxes(Li, -1, -2) @ B
+
+
+def _chol_unblocked(A, base: int = 8):
+    """Cholesky of a small (b,b) SPD block, recursively:
+
+        chol([[A11, .], [A21, A22]]) = [[L11, 0], [A21 L11^-T, chol(S)]]
+        with S = A22 - L21 L21^T.
+
+    Keeps the traced graph matmul-dominated (the plain column recursion is
+    O(b^3) scalar ops and explodes XLA compile time at b ~ 28).
+    """
+    b = A.shape[-1]
+    if b <= base:
+        return _chol_base(A)
+    h = b // 2
+    L11 = _chol_unblocked(A[..., :h, :h], base)
+    L11i = _tri_inv_lower_small(L11, base)
+    L21 = A[..., h:, :h] @ jnp.swapaxes(L11i, -1, -2)
+    S = A[..., h:, h:] - L21 @ jnp.swapaxes(L21, -1, -2)
+    L22 = _chol_unblocked(S, base)
+    top = jnp.concatenate(
+        [L11, jnp.zeros(L11.shape[:-2] + (h, b - h), A.dtype)], axis=-1)
+    bot = jnp.concatenate([L21, L22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def _pick_block(n: int) -> int:
@@ -113,13 +121,11 @@ def cholesky(A, block: int | None = None):
     return L[..., :n, :n] if n_pad != n else L
 
 
-def _tri_inv_lower_small(L):
-    """Explicit inverse of a small lower-triangular (b,b) block via static
-    forward substitution on the identity."""
+def _tri_inv_unrolled(L):
+    """Inverse of a tiny lower-triangular block by substitution (base case)."""
     b = L.shape[-1]
     cols = []
     for j in range(b):
-        # solve L x = e_j
         rows = []
         for i in range(b):
             if i < j:
@@ -132,6 +138,31 @@ def _tri_inv_lower_small(L):
             rows.append(r / L[..., i, i])
         cols.append(jnp.stack(rows, axis=-1))
     return jnp.stack(cols, axis=-1)
+
+
+def _tri_inv_lower_small(L, base: int = 8):
+    """Inverse of a lower-triangular (b,b) block, recursively:
+
+        inv([[A, 0], [B, C]]) = [[Ainv, 0], [-Cinv B Ainv, Cinv]]
+
+    The recursion keeps the traced graph O(b log b) ops of matmuls instead
+    of the O(b^3) scalar chain of plain substitution (which explodes XLA
+    trace/compile time at b ~ 28).
+    """
+    b = L.shape[-1]
+    if b <= base:
+        return _tri_inv_unrolled(L)
+    h = b // 2
+    A = L[..., :h, :h]
+    B = L[..., h:, :h]
+    C = L[..., h:, h:]
+    Ai = _tri_inv_lower_small(A, base)
+    Ci = _tri_inv_lower_small(C, base)
+    BL = -(Ci @ (B @ Ai))
+    top = jnp.concatenate(
+        [Ai, jnp.zeros(Ai.shape[:-2] + (h, b - h), L.dtype)], axis=-1)
+    bot = jnp.concatenate([BL, Ci], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def cholesky_invdiag(A, block: int | None = None):
