@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import linalg as xlinalg
+from .pallas import chol as pchol
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,11 +59,14 @@ class IpmOptions:
                                 # the capped complementarity diagonals distort
                                 # the Newton system and the iterate can
                                 # diverge again (observed slack excursions).
-    chol: str = "auto"          # "auto" | "lapack" | "blocked": KKT solver.
+    chol: str = "auto"          # "auto" | "lapack" | "blocked" | "pallas".
                                 # TPU lowers lapack cholesky/cho_solve to a
                                 # custom call that exhausts scoped VMEM for
                                 # batched 84x84 systems; "blocked" is the
-                                # pure-XLA implementation in ops.linalg.
+                                # pure-XLA implementation in ops.linalg;
+                                # "pallas" is the batch-in-lanes TPU kernel
+                                # (ops.pallas.chol) used automatically under
+                                # vmap on TPU ("auto").
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,8 +128,9 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
     n_active = (jnp.sum(mbl) + jnp.sum(mbu) + jnp.sum(mrl) + jnp.sum(mru))
     n_active = jnp.maximum(n_active, 1).astype(dtype)
 
-    use_blocked = (opts.chol == "blocked"
-                   or (opts.chol == "auto" and jax.default_backend() == "tpu"))
+    use_pallas = (opts.chol == "pallas"
+                  or (opts.chol == "auto" and jax.default_backend() == "tpu"))
+    use_blocked = opts.chol == "blocked"
 
     if warm is not None and x0 is None:
         x0 = warm.x
@@ -212,7 +217,9 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         # complementarity diagonals z/s grow unboundedly near convergence and
         # must not inflate the shift (that freezes the dual residual).
         K = K + opts.reg * (1.0 + jnp.max(jnp.abs(jnp.diag(Hs)))) * eye
-        if use_blocked:
+        if use_pallas:
+            chol = pchol.chol_factor(K)
+        elif use_blocked:
             chol = xlinalg.cholesky_invdiag(K)
         else:
             chol = jnp.linalg.cholesky(K)
@@ -224,9 +231,12 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
             t_r = (jnp.where(mrl, (rc_rl + zrl * r_prl) / srl, 0.0)
                    - jnp.where(mru, (rc_ru + zru * r_pru) / sru, 0.0))
             rhs = -r_dual + t_b + A.T @ t_r
-            dx = (xlinalg.cho_solve_invdiag(chol[0], chol[1], rhs)
-                  if use_blocked
-                  else jax.scipy.linalg.cho_solve((chol, True), rhs))
+            if use_pallas:
+                dx = pchol.chol_solve(chol, rhs)
+            elif use_blocked:
+                dx = xlinalg.cho_solve_invdiag(chol[0], chol[1], rhs)
+            else:
+                dx = jax.scipy.linalg.cho_solve((chol, True), rhs)
             dy = A @ dx
             dsbl = jnp.where(mbl, dx - r_pbl, 0.0)
             dsbu = jnp.where(mbu, -dx - r_pbu, 0.0)
