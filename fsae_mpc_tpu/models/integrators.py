@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.precision import highest as _highest_precision
+
 
 def euler_step(f, x, u, dt):
     return x + dt * f(x, u)
@@ -59,6 +61,7 @@ def rk6_step(f, x, u, dt):
 STEPPERS = {"euler": euler_step, "rk2": rk2_step, "rk4": rk4_step, "rk6": rk6_step}
 
 
+@_highest_precision
 def linearize_discrete(step, x_traj, u_traj):
     """Linearise a discrete step along a trajectory: returns stage matrices
     ``(Ad, Bd, dd)`` with ``x_{k+1} ~= Ad_k x_k + Bd_k u_k + dd_k``.

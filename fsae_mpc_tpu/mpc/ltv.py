@@ -28,6 +28,7 @@ from ..models import curvilinear as cm
 from ..models import integrators
 from ..ops.condense import condense as _condense, rollout as _rollout
 from ..ops import ipm
+from ..ops.precision import highest as _highest_precision
 from . import constraints as cons
 
 
@@ -45,6 +46,7 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
+@_highest_precision
 def assemble_condensed_qp(A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
                           r_soft: Sequence[float], groups, u_lb, u_ub):
     """Assemble the condensed QP over v = [u_0..u_{NC-1}, sigma_1..sigma_k].

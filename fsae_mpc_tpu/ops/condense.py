@@ -20,7 +20,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .precision import highest as _highest_precision
 
+
+@_highest_precision
 def condense(Ad, Bd, dd):
     """Build dense prediction matrices.
 
@@ -55,6 +58,7 @@ def condense(Ad, Bd, dd):
     return A_bar, B_bar, d_bar
 
 
+@_highest_precision
 def condense_associative(Ad, dd):
     """Log-depth transition/offset products via ``lax.associative_scan``.
 
@@ -73,6 +77,7 @@ def condense_associative(Ad, dd):
     return A_bar, d_bar
 
 
+@_highest_precision
 def condense_general(Ad, dd, B_terms, n_controls: int,
                      ctrl_stride: int = 1):
     """Condensing for recurrences whose step couples several controls:
@@ -116,6 +121,7 @@ def condense_general(Ad, dd, B_terms, n_controls: int,
     return A_bar, B_bar, d_bar
 
 
+@_highest_precision
 def rollout(Ad, Bd, dd, x0, u):
     """Apply the stage dynamics directly: x_{i+1} = Ad_i x_i + Bd_i u_i + dd_i.
 

@@ -39,15 +39,18 @@ from jax import lax
 
 from . import linalg as xlinalg
 from .pallas import chol as pchol
+from .precision import highest as _highest_precision
 
 
 @dataclasses.dataclass(frozen=True)
 class IpmOptions:
-    max_iters: int = 40
-    tol: float = 1e-12         # residual tolerance (on the scaled problem;
+    max_iters: int = 50
+    tol: float = 5e-14         # residual tolerance (on the scaled problem;
                                # the internal cost scaling divides the
                                # reference's 1e8 soft weights through, so
-                               # meaningful control accuracy needs ~1e-12)
+                               # control-level accuracy needs ~1e-13; the
+                               # inertia-corrected endgame makes the tighter
+                               # target safe to chase)
     tau: float = 0.995          # fraction-to-boundary
     reg: float = 1e-9           # static KKT regularisation (relative to diag)
     s_init: float = 1.0         # initial slack floor
@@ -67,6 +70,34 @@ class IpmOptions:
                                 # "pallas" is the batch-in-lanes TPU kernel
                                 # (ops.pallas.chol) used automatically under
                                 # vmap on TPU ("auto").
+    equilibrate: bool = True    # scale general rows to unit inf-norm.  The
+                                # MPC rows mix friction-polygon coefficients
+                                # (~40) with unit state boxes; unequilibrated
+                                # they stall Mehrotra steps for ~10 extra
+                                # iterations on production QPs.
+    init: str = "centered"      # "centered" | "basic".  Centered: project
+                                # the regularised unconstrained minimiser
+                                # into the box, shift slacks positive
+                                # (Mehrotra's heuristic) and set z = mu0/s so
+                                # the start lies on the central path; costs
+                                # one extra factorisation.  "basic": x0 = 0,
+                                # z = z_init.
+    mu0: float = 1.0            # initial centrality target (scaled problem)
+    warm_duals: str = "centered"  # "centered" | "reuse".  Warm starts keep
+                                # the previous primal; "centered" re-places
+                                # the duals on the central path at warm_mu0
+                                # (stale duals from the neighbouring QP were
+                                # measured to be WORSE than a cold centered
+                                # start: scripts/accuracy_iters.py), "reuse"
+                                # rescales and floors the previous duals
+                                # (qpOASES-hot-start analogue).
+    warm_mu0: float = 1e-2      # centrality target for warm starts
+    correctors: int = 0         # Gondzio centrality correctors per
+                                # iteration: extra backsolves on the SAME
+                                # factorisation targeting outlier
+                                # complementarity pairs; each costs ~1/4 of
+                                # an iteration and typically saves 30-50% of
+                                # the iterations.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +126,7 @@ def _side(val, x_of, sign):
     return finite, safe
 
 
+@_highest_precision
 def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
              x0=None, dtype=None, warm: "IpmResult | None" = None) -> IpmResult:
     """Solve one QP instance (vmap for batches).
@@ -120,6 +152,15 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
     Hs = H * c_scale
     gs = g * c_scale
 
+    # ---- row equilibration (unit inf-norm general rows) ------------------
+    if opts.equilibrate:
+        r_scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-12)
+        A = A * r_scale[:, None]
+        lbA = lbA * r_scale          # r_scale > 0: directions and infinities
+        ubA = ubA * r_scale          # are preserved
+    else:
+        r_scale = jnp.ones((m,), dtype)
+
     # ---- masks and safe bound values ------------------------------------
     mbl, lb_s = _side(lb, None, +1)
     mbu, ub_s = _side(ub, None, -1)
@@ -132,37 +173,83 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
                   or (opts.chol == "auto" and jax.default_backend() == "tpu"))
     use_blocked = opts.chol == "blocked"
 
+    eye = jnp.eye(n, dtype=dtype)
+    use_centered = (opts.init == "centered" and warm is None and x0 is None)
+
     if warm is not None and x0 is None:
         x0 = warm.x
+    if use_centered:
+        # regularised unconstrained minimiser, projected into the box.
+        # One extra factorisation, but the start has ~zero dual residual
+        # in the unconstrained directions (cold x0 = 0 starts at dual
+        # residual |g|, which costs ~10 Mehrotra iterations to burn off on
+        # production MPC QPs with 1e5..1e7 soft-weight gradients).
+        # shift large enough to stay SPD under TPU f32 matmul error (the
+        # per-iteration K gets O(1) complementarity diagonals; K0 does not)
+        shift0 = 1e-3 if jnp.finfo(dtype).eps > 1e-10 else 1e-8
+        diag0 = shift0 * (1.0 + jnp.max(jnp.abs(jnp.diag(Hs))))
+        K0 = Hs + diag0 * eye
+        if use_pallas:
+            x0 = pchol.chol_solve(pchol.chol_factor(K0), -gs)
+        elif use_blocked:
+            c0 = xlinalg.cholesky_invdiag(K0)
+            x0 = xlinalg.cho_solve_invdiag(c0[0], c0[1], -gs)
+        else:
+            x0 = jax.scipy.linalg.cho_solve(
+                (jnp.linalg.cholesky(K0), True), -gs)
+        x0 = jnp.where(jnp.all(jnp.isfinite(x0)), x0, 0.0)
+        x0 = jnp.clip(x0, jnp.where(mbl, lb_s, -jnp.inf),
+                      jnp.where(mbu, ub_s, jnp.inf))
     if x0 is None:
         x0 = jnp.zeros((n,), dtype)
 
     s_floor = opts.s_init if warm is None else 1e-3
     z_floor = opts.z_init if warm is None else 1e-3
-
-    def slacks_init(y, lo, hi, ml, mu_):
-        s_l = jnp.where(ml, jnp.maximum(y - lo, s_floor), 1.0)
-        s_u = jnp.where(mu_, jnp.maximum(hi - y, s_floor), 1.0)
-        return s_l, s_u
-
     y0 = A @ x0
-    sbl, sbu = slacks_init(x0, lb_s, ub_s, mbl, mbu)
-    srl, sru = slacks_init(y0, lbA_s, ubA_s, mrl, mru)
-    if warm is None:
-        zbl = jnp.where(mbl, opts.z_init, 0.0).astype(dtype)
-        zbu = jnp.where(mbu, opts.z_init, 0.0).astype(dtype)
-        zrl = jnp.where(mrl, opts.z_init, 0.0).astype(dtype)
-        zru = jnp.where(mru, opts.z_init, 0.0).astype(dtype)
-    else:
-        # previous combined duals are for the UNSCALED problem; rescale
-        wzb = warm.z_bounds * c_scale
-        wzr = warm.z_rows * c_scale
-        zbl = jnp.where(mbl, jnp.maximum(wzb, z_floor), 0.0).astype(dtype)
-        zbu = jnp.where(mbu, jnp.maximum(-wzb, z_floor), 0.0).astype(dtype)
-        zrl = jnp.where(mrl, jnp.maximum(wzr, z_floor), 0.0).astype(dtype)
-        zru = jnp.where(mru, jnp.maximum(-wzr, z_floor), 0.0).astype(dtype)
 
-    eye = jnp.eye(n, dtype=dtype)
+    if warm is not None and opts.warm_duals == "centered":
+        use_centered = True          # reuse the centered slack/dual placement
+    if use_centered:
+        # Mehrotra-style shift: make every slack positive by a common
+        # offset, then place the duals exactly on the central path
+        # (s_i z_i = mu0 for every active side).
+        raw = [jnp.where(mbl, x0 - lb_s, jnp.inf),
+               jnp.where(mbu, ub_s - x0, jnp.inf),
+               jnp.where(mrl, y0 - lbA_s, jnp.inf),
+               jnp.where(mru, ubA_s - y0, jnp.inf)]
+        smin = jnp.minimum(jnp.minimum(jnp.min(raw[0]), jnp.min(raw[1])),
+                           jnp.minimum(jnp.min(raw[2]), jnp.min(raw[3])))
+        shift = jnp.maximum(-1.5 * smin, 0.0) + 1e-2
+        sbl = jnp.where(mbl, raw[0] + shift, 1.0)
+        sbu = jnp.where(mbu, raw[1] + shift, 1.0)
+        srl = jnp.where(mrl, raw[2] + shift, 1.0)
+        sru = jnp.where(mru, raw[3] + shift, 1.0)
+        mu0 = opts.mu0 if warm is None else opts.warm_mu0
+        zbl = jnp.where(mbl, mu0 / sbl, 0.0).astype(dtype)
+        zbu = jnp.where(mbu, mu0 / sbu, 0.0).astype(dtype)
+        zrl = jnp.where(mrl, mu0 / srl, 0.0).astype(dtype)
+        zru = jnp.where(mru, mu0 / sru, 0.0).astype(dtype)
+    else:
+        def slacks_init(y, lo, hi, ml, mu_):
+            s_l = jnp.where(ml, jnp.maximum(y - lo, s_floor), 1.0)
+            s_u = jnp.where(mu_, jnp.maximum(hi - y, s_floor), 1.0)
+            return s_l, s_u
+
+        sbl, sbu = slacks_init(x0, lb_s, ub_s, mbl, mbu)
+        srl, sru = slacks_init(y0, lbA_s, ubA_s, mrl, mru)
+        if warm is None:
+            zbl = jnp.where(mbl, opts.z_init, 0.0).astype(dtype)
+            zbu = jnp.where(mbu, opts.z_init, 0.0).astype(dtype)
+            zrl = jnp.where(mrl, opts.z_init, 0.0).astype(dtype)
+            zru = jnp.where(mru, opts.z_init, 0.0).astype(dtype)
+        else:
+            # previous duals are for the UNSCALED, UNEQUILIBRATED problem
+            wzb = warm.z_bounds * c_scale
+            wzr = warm.z_rows * c_scale / r_scale
+            zbl = jnp.where(mbl, jnp.maximum(wzb, z_floor), 0.0).astype(dtype)
+            zbu = jnp.where(mbu, jnp.maximum(-wzb, z_floor), 0.0).astype(dtype)
+            zrl = jnp.where(mrl, jnp.maximum(wzr, z_floor), 0.0).astype(dtype)
+            zru = jnp.where(mru, jnp.maximum(-wzr, z_floor), 0.0).astype(dtype)
 
     def mu_of(state):
         x, sbl, sbu, srl, sru, zbl, zbu, zrl, zru = state
@@ -182,13 +269,20 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         r_pru = jnp.where(mru, sru - (ubA_s - y), 0.0)
         return r_dual, r_pbl, r_pbu, r_prl, r_pru
 
-    def iterate(state):
+    def pres_of(r_pbl, r_pbu, r_prl, r_pru):
+        """Primal residual measured in ORIGINAL row units: equilibration
+        scales rows by r_scale, so convergence thresholds stay comparable
+        with and without it."""
+        return jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(r_pbl)), jnp.max(jnp.abs(r_pbu))),
+            jnp.maximum(jnp.max(jnp.abs(r_prl / r_scale)),
+                        jnp.max(jnp.abs(r_pru / r_scale))))
+
+    def iterate(state, regm):
         x, sbl, sbu, srl, sru, zbl, zbu, zrl, zru = state
         mu = mu_of(state)
         r_dual, r_pbl, r_pbu, r_prl, r_pru = residuals(state)
-        pres_in = jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(r_pbl)), jnp.max(jnp.abs(r_pbu))),
-            jnp.maximum(jnp.max(jnp.abs(r_prl)), jnp.max(jnp.abs(r_pru))))
+        pres_in = pres_of(r_pbl, r_pbu, r_prl, r_pru)
         dres_in = jnp.max(jnp.abs(r_dual))
         score_in = pres_in + 10.0 * dres_in + mu
 
@@ -216,7 +310,10 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         # static regularisation relative to the *Hessian* scale only -- the
         # complementarity diagonals z/s grow unboundedly near convergence and
         # must not inflate the shift (that freezes the dual residual).
-        K = K + opts.reg * (1.0 + jnp.max(jnp.abs(jnp.diag(Hs)))) * eye
+        # ``regm`` is the inertia-correction multiplier: it grows 100x after
+        # each factorisation breakdown (non-finite iterate) so the next
+        # attempt from the SAME state succeeds instead of looping on NaN.
+        K = K + opts.reg * regm * (1.0 + jnp.max(jnp.abs(jnp.diag(Hs)))) * eye
         if use_pallas:
             chol = pchol.chol_factor(K)
         elif use_blocked:
@@ -279,20 +376,51 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         # ---- corrector step ---------------------------------------------
         rc2 = lambda s, z, ds, dz, mask: jnp.where(
             mask, sigma * mu - s * z - ds * dz, 0.0)
-        dx, ds, dz = kkt_solve(
-            rc2(sbl, zbl, ds_a[0], dz_a[0], mbl),
-            rc2(sbu, zbu, ds_a[1], dz_a[1], mbu),
-            rc2(srl, zrl, ds_a[2], dz_a[2], mrl),
-            rc2(sru, zru, ds_a[3], dz_a[3], mru))
+        rc_c = (rc2(sbl, zbl, ds_a[0], dz_a[0], mbl),
+                rc2(sbu, zbu, ds_a[1], dz_a[1], mbu),
+                rc2(srl, zrl, ds_a[2], dz_a[2], mrl),
+                rc2(sru, zru, ds_a[3], dz_a[3], mru))
+        dx, ds, dz = kkt_solve(*rc_c)
 
-        a_p = jnp.minimum(jnp.minimum(max_step(sbl, ds[0], mbl),
-                                      max_step(sbu, ds[1], mbu)),
-                          jnp.minimum(max_step(srl, ds[2], mrl),
-                                      max_step(sru, ds[3], mru)))
-        a_d = jnp.minimum(jnp.minimum(max_step(zbl, dz[0], mbl),
-                                      max_step(zbu, dz[1], mbu)),
-                          jnp.minimum(max_step(zrl, dz[2], mrl),
-                                      max_step(zru, dz[3], mru)))
+        def steps_of(ds, dz):
+            a_p = jnp.minimum(jnp.minimum(max_step(sbl, ds[0], mbl),
+                                          max_step(sbu, ds[1], mbu)),
+                              jnp.minimum(max_step(srl, ds[2], mrl),
+                                          max_step(sru, ds[3], mru)))
+            a_d = jnp.minimum(jnp.minimum(max_step(zbl, dz[0], mbl),
+                                          max_step(zbu, dz[1], mbu)),
+                              jnp.minimum(max_step(zrl, dz[2], mrl),
+                                          max_step(zru, dz[3], mru)))
+            return a_p, a_d
+
+        a_p, a_d = steps_of(ds, dz)
+
+        # ---- Gondzio centrality correctors --------------------------------
+        # Reuse the factorisation: push outlier complementarity products of
+        # the TRIAL point back into [beta_min, beta_max] * mu_t.  Accept a
+        # corrected direction only if it extends both step lengths.
+        mu_t = sigma * mu
+        svars = (sbl, sbu, srl, sru)
+        zvars = (zbl, zbu, zrl, zru)
+        masks = (mbl, mbu, mrl, mru)
+        for _ in range(opts.correctors):
+            ap_t = jnp.minimum(a_p + 0.1, 1.0)
+            ad_t = jnp.minimum(a_d + 0.1, 1.0)
+            rc_g = []
+            for s_v, z_v, ds_v, dz_v, mk, rc_v in zip(
+                    svars, zvars, ds, dz, masks, rc_c):
+                comp = (s_v + ap_t * ds_v) * (z_v + ad_t * dz_v)
+                target = jnp.clip(comp, 0.1 * mu_t, 10.0 * mu_t)
+                rc_g.append(jnp.where(mk, rc_v + (target - comp), 0.0))
+            dx2, ds2, dz2 = kkt_solve(*rc_g)
+            a_p2, a_d2 = steps_of(ds2, dz2)
+            better = (a_p2 >= a_p) & (a_d2 >= a_d)
+            pick = lambda a, b: jnp.where(better, a, b)
+            dx = pick(dx2, dx)
+            ds = jax.tree_util.tree_map(pick, ds2, ds)
+            dz = jax.tree_util.tree_map(pick, dz2, dz)
+            a_p = jnp.where(better, a_p2, a_p)
+            a_d = jnp.where(better, a_d2, a_d)
 
         x_n = x + a_p * dx
         sbl_n = jnp.where(mbl, sbl + a_p * ds[0], 1.0)
@@ -318,52 +446,54 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
     def score_of(state):
         """Combined optimality score for best-iterate tracking."""
         r_dual, r_pbl, r_pbu, r_prl, r_pru = residuals(state)
-        pres = jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(r_pbl)), jnp.max(jnp.abs(r_pbu))),
-            jnp.maximum(jnp.max(jnp.abs(r_prl)), jnp.max(jnp.abs(r_pru))))
+        pres = pres_of(r_pbl, r_pbu, r_prl, r_pru)
         return pres + 10.0 * jnp.max(jnp.abs(r_dual)) + mu_of(state)
 
     def converged(state):
         r_dual, r_pbl, r_pbu, r_prl, r_pru = residuals(state)
-        pres = jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(r_pbl)), jnp.max(jnp.abs(r_pbu))),
-            jnp.maximum(jnp.max(jnp.abs(r_prl)), jnp.max(jnp.abs(r_pru))))
+        pres = pres_of(r_pbl, r_pbu, r_prl, r_pru)
         dres = jnp.max(jnp.abs(r_dual))
         return (pres < opts.tol) & (dres < opts.tol) & (mu_of(state) < opts.tol)
 
     inf_score = jnp.asarray(jnp.inf, dtype)
+    regm0 = jnp.asarray(1.0, dtype)
+
+    def regm_next(regm, good):
+        # breakdown -> escalate 100x; success -> decay back toward 1
+        return jnp.where(good, jnp.maximum(regm * 0.1, 1.0),
+                         jnp.minimum(regm * 100.0, 1e12))
+
     if opts.adaptive:
         def cond(carry):
-            it, state, best, bscore, ok = carry
-            return (it < opts.max_iters) & ok & jnp.logical_not(converged(state))
+            it, state, best, bscore, regm = carry
+            return (it < opts.max_iters) & jnp.logical_not(converged(state))
 
         def body(carry):
-            it, state, best, bscore, _ = carry
+            it, state, best, bscore, regm = carry
             # iterate returns the score of its INCOMING state (residuals are
             # computed there anyway); track the best pre-state cheaply
-            new_state, good, sc = iterate(state)
+            new_state, good, sc = iterate(state, regm)
             better = sc < bscore
             best = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(better, a, b), state, best)
             bscore = jnp.where(better, sc, bscore)
-            return it + 1, new_state, best, bscore, good
+            return it + 1, new_state, best, bscore, regm_next(regm, good)
 
         iters, state, best, bscore, _ = lax.while_loop(
             cond, body,
-            (jnp.zeros((), jnp.int32), state0, state0, inf_score,
-             jnp.ones((), jnp.bool_)))
+            (jnp.zeros((), jnp.int32), state0, state0, inf_score, regm0))
     else:
         def body(i, carry):
-            state, best, bscore = carry
-            new_state, _, sc = iterate(state)
+            state, best, bscore, regm = carry
+            new_state, good, sc = iterate(state, regm)
             better = sc < bscore
             best = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(better, a, b), state, best)
             bscore = jnp.where(better, sc, bscore)
-            return new_state, best, bscore
+            return new_state, best, bscore, regm_next(regm, good)
 
-        state, best, bscore = lax.fori_loop(
-            0, opts.max_iters, body, (state0, state0, inf_score))
+        state, best, bscore, _ = lax.fori_loop(
+            0, opts.max_iters, body, (state0, state0, inf_score, regm0))
         iters = jnp.asarray(opts.max_iters, jnp.int32)
 
     # return the best iterate seen (f32 trajectories can degrade after
@@ -374,14 +504,12 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
 
     x = state[0]
     r_dual, r_pbl, r_pbu, r_prl, r_pru = residuals(state)
-    pres = jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(r_pbl)), jnp.max(jnp.abs(r_pbu))),
-        jnp.maximum(jnp.max(jnp.abs(r_prl)), jnp.max(jnp.abs(r_pru))))
+    pres = pres_of(r_pbl, r_pbu, r_prl, r_pru)
     obj = 0.5 * x @ (H @ x) + g @ x
     return IpmResult(
         x=x,
         z_bounds=(state[5] - state[6]) / c_scale,
-        z_rows=(state[7] - state[8]) / c_scale,
+        z_rows=(state[7] - state[8]) * r_scale / c_scale,
         iterations=iters,
         mu=mu_of(state) / c_scale,
         primal_res=pres,
@@ -393,6 +521,8 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
 # float32 preset for on-TPU solves: residuals bottom out near f32 epsilon,
 # so run a fixed iteration budget with a matching tolerance and heavier
 # regularisation.
+# max_iters=12: warm-started receding-horizon accuracy saturates there
+# (scripts/accuracy_iters.py: warm12 == warm16 to 1e-4 on fsg2019 ticks)
 F32_OPTS = IpmOptions(max_iters=12, tol=5e-7, reg=1e-7, adaptive=False,
                       freeze=(1e-4, 1e-5, 1e-7))
 
