@@ -9,7 +9,13 @@ N=500 trapezoidal nodes) as SQP loops with **partial condensing**:
   so interior states become affine in (segment boundary state, segment
   controls).  Full-lap condensing is numerically impossible here -- the
   transition product over ~200 m of vehicle dynamics overflows -- while
-  segment products stay O(1e2..1e4).
+  segment products stay O(1e2..1e4).  Trial points in the line search are
+  evaluated by NONLINEAR within-segment rollout (multiple shooting), so
+  interior defects are exactly zero at every iterate and only segment
+  -boundary defects remain.  The dynamic planner uses M=1 (full multiple
+  shooting): the Pacejka slip modes relax in ~0.5 m while nodes are ~3 m
+  apart, so even a 2-step condensed rollout is forward-unstable enough to
+  stall the line search.
 * Segment boundary states remain decision variables; periodicity is K
   tight equality rows  end(segment k) = boundary k+1 (mod K)  handed to
   the same dense IPM as everything else.
@@ -118,12 +124,22 @@ def _node_maps(A_seg, B_seg, d_seg, K, M, ny, nu, nv, nu_total):
 
 def _plan_sqp(defect_fn, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
               u_lb, u_ub, n_soft, soft_w, opts, iters, seg_len: int,
-              rho=1e3):
+              rho=1e3, x_scale=None, tr0=1.0, tr_min=0.02, tr_max=4.0):
     """Shared periodic-planner SQP loop with partial condensing.
 
     defect_fn(i, y_i, u_i) -> y_{i+1}: step map in s (wrap via equality
     rows).  time_of(y, s) -> node traversal time.
     row_groups: list of (sel_fn(y, u) -> values, lb, ub, slack_idx).
+
+    Globalisation (replaces IPOPT's internal filter/line search,
+    ``dynamic_minimum_time_planner.m:39-67``): an exact l1 penalty merit
+    cost + rho |defect|_1 + sum_s w_s (soft-row violation)_+, a monotone
+    backtracking line search that can REJECT the step outright, and an
+    adaptive trust region (box on controls and segment-boundary states,
+    radius carried through the scan) that shrinks on rejection and grows
+    on accepted full steps.  All branch-free: alphas are evaluated in a
+    vmap and the trust-radius update is a pair of jnp.where -- the whole
+    loop stays one lax.scan for XLA.
     """
     N, ny = y0.shape
     nu = u0.shape[1]
@@ -133,10 +149,25 @@ def _plan_sqp(defect_fn, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
     K = N // M
     nu_total = N * nu
     nv = nu_total + K * ny + n_soft
+    if x_scale is None:
+        x_scale = jnp.ones((ny,), dtype)
+    x_scale = jnp.asarray(x_scale, dtype)
+    u_scale = (jnp.asarray(u_ub, dtype) - jnp.asarray(u_lb, dtype)) / 2.0
 
     t_grad = jax.vmap(jax.grad(time_of, argnums=0), in_axes=(0, 0))
     t_hess = jax.vmap(jax.hessian(time_of, argnums=0), in_axes=(0, 0))
     t_val = jax.vmap(time_of, in_axes=(0, 0))
+
+    # soft-row penalty weights resolved once (python, static shapes)
+    soft_meta = []
+    for sel_fn, lo, hi, sidx in row_groups:
+        si = np.atleast_1d(np.asarray(sidx))
+        if np.all(si < 0):
+            continue
+        w = np.asarray([soft_w[i] if i >= 0 else 0.0 for i in si],
+                       np.float64)
+        soft_meta.append((sel_fn, np.atleast_1d(np.asarray(lo, np.float64)),
+                          np.atleast_1d(np.asarray(hi, np.float64)), w))
 
     def _psd_shift(Hs):
         diag = jnp.diagonal(Hs, axis1=-2, axis2=-1)
@@ -154,9 +185,19 @@ def _plan_sqp(defect_fn, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
             return Ad, Bd, dd
         return jax.vmap(one)(jnp.arange(N), y, u)
 
-    def merit(y, u, slack_cost):
+    def merit(y, u):
         cost = (jnp.sum(q_reg * y * y) + jnp.sum(r_reg * u * u)
-                + jnp.sum(t_val(y, s_nodes)) + slack_cost)
+                + jnp.sum(t_val(y, s_nodes)))
+        # exact l1 penalty on soft rows: matches the QP's slack objective
+        # at the solution, but is evaluable at any trial point
+        for sel_fn, lo, hi, w in soft_meta:
+            v = jax.vmap(lambda yi, ui: jnp.atleast_1d(sel_fn(yi, ui)))(y, u)
+            lo_a = jnp.asarray(lo, dtype)
+            hi_a = jnp.asarray(hi, dtype)
+            w_a = jnp.asarray(w, dtype)
+            cost = cost + jnp.sum(
+                w_a * (jnp.maximum(lo_a - v, 0.0)
+                       + jnp.maximum(v - hi_a, 0.0)))
         y_next = jnp.roll(y, -1, axis=0)
         F = jax.vmap(lambda i, yi, ui: defect_fn(i, yi, ui))(
             jnp.arange(N), y, u)
@@ -164,7 +205,7 @@ def _plan_sqp(defect_fn, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
         return cost + rho * viol, jnp.max(jnp.abs(F - y_next))
 
     def sqp_iter(carry, _):
-        y, u = carry
+        y, u, tr = carry
         Ad, Bd, dd = defect_jacobians(y, u)
         A_seg, B_seg, d_seg = _segment_condense(Ad, Bd, dd, K, M)
         P, q = _node_maps(A_seg, B_seg, d_seg, K, M, ny, nu, nv, nu_total)
@@ -184,13 +225,19 @@ def _plan_sqp(defect_fn, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
         if n_soft:
             gvec = gvec.at[nu_total + K * ny:].set(jnp.asarray(soft_w, dtype))
 
+        # trust-region box: controls clipped to the intersection of the
+        # hard bounds and +-tr*scale around the incumbent; boundary states
+        # to +-tr*scale around the incumbent boundary values
+        xb_now = y[::M]                                      # (K, ny)
         lb_v = jnp.concatenate([
-            jnp.broadcast_to(u_lb, (N, nu)).reshape(-1),
-            jnp.full((K * ny,), -jnp.inf, dtype),
+            jnp.maximum(jnp.broadcast_to(u_lb, (N, nu)),
+                        u - tr * u_scale).reshape(-1),
+            (xb_now - tr * x_scale).reshape(-1),
             jnp.zeros((n_soft,), dtype)])
         ub_v = jnp.concatenate([
-            jnp.broadcast_to(u_ub, (N, nu)).reshape(-1),
-            jnp.full((K * ny,), jnp.inf, dtype),
+            jnp.minimum(jnp.broadcast_to(u_ub, (N, nu)),
+                        u + tr * u_scale).reshape(-1),
+            (xb_now + tr * x_scale).reshape(-1),
             jnp.full((n_soft,), jnp.inf, dtype)])
 
         # ---- periodicity equality rows ----------------------------------
@@ -267,31 +314,67 @@ def _plan_sqp(defect_fn, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
         v0_init = jnp.concatenate(
             [u.reshape(-1), xb0, jnp.zeros((n_soft,), dtype)])
         res = ipm.solve_qp(H, gvec, A, lb_v, ub_v, lbA, ubA, opts, x0=v0_init)
-        u_full = res.x[:nu_total].reshape(N, nu)
         slack = res.x[nu_total + K * ny:]
-        slack_cost = (jnp.sum(jnp.asarray(soft_w, dtype) * slack)
-                      if n_soft else jnp.zeros((), dtype))
-
-        du = u_full - u
         dv = res.x - v0_init
+
+        # trial evaluation by NONLINEAR within-segment rollout (multiple
+        # shooting): the condensed affine map P v + q is only used to model
+        # the QP -- evaluating trials through it re-rolls interior states
+        # with the *linearised* dynamics, whose one-segment error with the
+        # stiff Pacejka slip modes at ds ~ 3 m has an O(1e-4) floor that
+        # blocks quadratic convergence.  Rolling out nonlinearly makes the
+        # interior defects exactly zero at every trial; only the K segment
+        # -boundary defects remain for the Newton iteration to close.
+        def rollout(xb, u_full):
+            u_seg = u_full.reshape(K, M, nu)
+
+            def seg(k, xb_k, u_k):
+                def stp(y_j, j):
+                    return defect_fn(k * M + j, y_j, u_k[j]), y_j
+                _, ys = lax.scan(stp, xb_k, jnp.arange(M, dtype=jnp.int32))
+                return ys
+
+            ys = jax.vmap(seg)(jnp.arange(K, dtype=jnp.int32), xb, u_seg)
+            return ys.reshape(N, ny)
 
         def try_alpha(alpha):
             v_a = v0_init + alpha * dv
             u_a = v_a[:nu_total].reshape(N, nu)
-            y_a = jnp.einsum("nij,j->ni", P, v_a) + q
-            m, dmax = merit(y_a, u_a, slack_cost)
+            xb_a = v_a[nu_total:nu_total + K * ny].reshape(K, ny)
+            y_a = rollout(xb_a, u_a)
+            m, dmax = merit(y_a, u_a)
             return m, (y_a, u_a, dmax)
 
-        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.1], dtype)
+        m_cur, d_cur = merit(y, u)
+        alphas = jnp.asarray([1.0, 0.6, 0.35, 0.2, 0.1, 0.04, 0.015], dtype)
         ms, (ys, us, dmaxs) = jax.vmap(try_alpha)(alphas)
         k = jnp.argmin(ms)
-        return (ys[k], us[k]), (slack, ms[k], dmaxs[k])
+        accepted = ms[k] < m_cur
+        y_new = jnp.where(accepted, ys[k], y)
+        u_new = jnp.where(accepted, us[k], u)
+        m_new = jnp.where(accepted, ms[k], m_cur)
+        d_new = jnp.where(accepted, dmaxs[k], d_cur)
+        # trust-radius update: shrink hard on rejection, grow on an
+        # accepted (near-)full step, hold otherwise
+        tr_new = jnp.where(~accepted, tr * 0.25,
+                           jnp.where(k <= 1,
+                                     jnp.minimum(tr * 1.5, tr_max), tr))
+        tr_new = jnp.maximum(tr_new, tr_min)
+        diag = (k, tr, jnp.max(jnp.abs(dv)), accepted, ms)
+        return (y_new, u_new, tr_new), (slack, m_new, d_new, diag)
 
-    (y, u), (slacks, merits, dnorms) = lax.scan(
-        sqp_iter, (y0, u0), None, length=iters)
+    tr_init = jnp.asarray(tr0, dtype)
+    (y, u, _), (slacks, merits, dnorms, diags) = lax.scan(
+        sqp_iter, (y0, u0, tr_init), None, length=iters)
+    if _DEBUG_HISTORY is not None:
+        _DEBUG_HISTORY.update(merits=merits, dnorms=dnorms, diags=diags)
     t_node = t_val(y, s_nodes)
     slack_last = slacks[-1] if n_soft else jnp.zeros((0,), dtype)
     return y, u, t_node, slack_last, merits[-1], dnorms[-1]
+
+
+# debugging hook: set to a dict to capture per-iteration SQP history
+_DEBUG_HISTORY = None
 
 
 def minimum_time_planner_kinematic(track,
@@ -299,7 +382,7 @@ def minimum_time_planner_kinematic(track,
                                    n_nodes: int = 1000,
                                    opts: ipm.IpmOptions = ipm.IpmOptions(),
                                    iters: int = 30,
-                                   seg_len: int = 8) -> PlannerResult:
+                                   seg_len: int = 4) -> PlannerResult:
     """Kinematic min-time raceline (``minimum_time_planner.m``).
 
     Node state [n, mu, v, delta], controls [a, delta_d]; Euler defects in s
@@ -349,7 +432,8 @@ def minimum_time_planner_kinematic(track,
 
     y, u, t_node, slack, merit, dnorm = _plan_sqp(
         step_map, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
-        u_lb, u_ub, 0, [], opts, iters, seg_len)
+        u_lb, u_ub, 0, [], opts, iters, seg_len,
+        x_scale=jnp.asarray([0.5, 0.3, 5.0, 0.2], dtype))
     return PlannerResult(y_opt=y, u_opt=u, t_node=t_node,
                          lap_time=jnp.sum(t_node), slack=slack,
                          merit=merit, defect_norm=dnorm)
@@ -360,7 +444,7 @@ def minimum_time_planner_dynamic(track,
                                  n_nodes: int = 500,
                                  opts: ipm.IpmOptions = ipm.IpmOptions(),
                                  iters: int = 40,
-                                 seg_len: int = 4) -> PlannerResult:
+                                 seg_len: int = 1) -> PlannerResult:
     """Dynamic min-time raceline (``dynamic_minimum_time_planner.m``).
 
     Node state [n, mu, x_d, y_d, theta_d, delta] (s removed), controls
@@ -395,8 +479,27 @@ def minimum_time_planner_dynamic(track,
         k2, _ = y_prime(y_pred, u, s + ds)
         return y + 0.5 * ds * (k1 + k2)
 
-    y0 = jnp.zeros((N, 6), dtype).at[:, 2].set(10.0)   # x_d init (:66-67)
-    u0 = jnp.zeros((N, 2), dtype)
+    # steady-state cornering cold start: the reference hands IPOPT a flat
+    # x_d=10 init and lets 5000 interior-point iterations sort it out
+    # (``:66-67``); a fixed-iteration SQP needs a consistent start, so seed
+    # each node with the kinematic steady state of the local curvature
+    # (theta_d = v k, delta = atan(L k), y_d = v tan(beta)), which makes
+    # the initial defects O(Pacejka mismatch) instead of O(1).
+    v_init = 10.0
+    k_nodes = jax.vmap(track.curvature)(s_nodes)
+    delta_init = jnp.arctan((params.lf + params.lr) * k_nodes)
+    beta_init = jnp.arctan(params.lr_ratio * jnp.tan(delta_init))
+    y0 = jnp.stack([
+        jnp.zeros((N,), dtype),
+        jnp.zeros((N,), dtype),
+        jnp.full((N,), v_init, dtype),
+        v_init * jnp.tan(beta_init),
+        v_init * k_nodes,
+        delta_init,
+    ], axis=1)
+    # controls: a=0, delta_d = d(delta)/dt = delta'(s) * s_dot
+    ddel = (jnp.roll(delta_init, -1) - delta_init) / ds * v_init
+    u0 = jnp.stack([jnp.zeros((N,), dtype), ddel], axis=1)
     q_reg = jnp.tile(jnp.asarray([0.01, 0.01, 0.0, 0.0, 0.0, 0.0], dtype),
                      (N, 1))
     r_reg = jnp.tile(jnp.asarray([1e-6, 0.01], dtype), (N, 1))
@@ -420,7 +523,8 @@ def minimum_time_planner_dynamic(track,
 
     y, u, t_node, slack, merit, dnorm = _plan_sqp(
         step_map, time_of, s_nodes, y0, u0, q_reg, r_reg, row_groups,
-        u_lb, u_ub, 2, [1e8, 1e5], opts, iters, seg_len)
+        u_lb, u_ub, 2, [1e8, 1e5], opts, iters, seg_len,
+        x_scale=jnp.asarray([0.5, 0.3, 5.0, 1.0, 0.5, 0.2], dtype))
     return PlannerResult(y_opt=y, u_opt=u, t_node=t_node,
                          lap_time=jnp.sum(t_node), slack=slack,
                          merit=merit, defect_norm=dnorm)

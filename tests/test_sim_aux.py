@@ -67,7 +67,7 @@ def test_raceline_tracking_sim():
     from fsae_mpc_tpu.planner import minimum_time_planner_dynamic
     track, _ = load_track("data/fsg2019.csv", dtype=jnp.float64)
     plan = minimum_time_planner_dynamic(track, VehicleParams(), n_nodes=64,
-                                        iters=15, seg_len=4)
+                                        iters=15)
     cfg = SimConfig(model="dynamic", n_ticks=30, reference="raceline",
                     mpc=MPCParams(n_steps=12))
     out = jax.jit(lambda t, p: simulate(t, p, cfg, plan=plan))(
