@@ -416,3 +416,17 @@ def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
     last = jax.tree_util.tree_map(lambda a: a[-1], (slacks, fvals, results))
     return SqpResult(x_opt=x_opt, u_opt=u_opt, slack=last[0],
                      fval=last[1], qp=last[2])
+
+def hs_shift_trajectory(x_opt, u_opt, step_half_fn):
+    """Warm-start shift for the Hermite-Simpson point grid.
+
+    One control tick advances one KNOT = two collocation points: drop the
+    first two points and extend the tail by two half-steps of the dynamics
+    (the HS analogue of ``sqp.shift_trajectory`` /
+    ``rk2_nmpc_kinematic_curvilinear.m:62-65``).
+    """
+    x_a = step_half_fn(x_opt[-1], u_opt[-1])
+    x_b = step_half_fn(x_a, u_opt[-1])
+    x_new = jnp.concatenate([x_opt[2:], x_a[None], x_b[None]], axis=0)
+    u_new = jnp.concatenate([u_opt[2:], u_opt[-1:], u_opt[-1:]], axis=0)
+    return x_new, u_new

@@ -195,15 +195,13 @@ def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
                      fval=res.objective + const, qp=res)
 
 
-def ltv_mpc_dynamic(x0, x_ref, track, params: VehicleParams,
-                    mpc: MPCParams, x_lin, u_lin,
-                    opts: ipm.IpmOptions = ipm.IpmOptions(),
-                    stepper: str = "rk4", warm=None) -> LtvResult:
-    """Dynamic-model LTV-MPC tick.
+def build_qp_dynamic(x0, x_ref, track, params: VehicleParams,
+                     mpc: MPCParams, x_lin, u_lin, stepper: str = "rk4"):
+    """Assemble the dynamic-model LTV QP for one tick.
 
-    (``mpc/ltv/dynamic/ltvmpc_dynamic_curvilinear.m``: RK4 linearizer, four
-    slacks weighted [1e8, 1e6, 1e6, 1e4] for track / rear-slip / front-slip
-    / friction-polygon softening.)  ``x_ref``: (N, 7) time-major.
+    Returns ``((H, g, A, lb, ub, lbA, ubA, const), (Ad, Bd, dd))`` -- the
+    condensed QP plus the discrete linearisation (needed to recover the
+    predicted states from the control solution).
     """
     N = mpc.n_steps
     dtype = x_lin.dtype
@@ -231,10 +229,26 @@ def ltv_mpc_dynamic(x0, x_ref, track, params: VehicleParams,
     ]
     u_lb, u_ub = _control_bounds(mpc, N, dtype)
 
-    H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
+    qp = assemble_condensed_qp(
         A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
         [mpc.w_track, mpc.w_slip, mpc.w_slip, mpc.w_tyre],
         groups, u_lb, u_ub)
+    return qp, (Ad, Bd, dd)
+
+
+def ltv_mpc_dynamic(x0, x_ref, track, params: VehicleParams,
+                    mpc: MPCParams, x_lin, u_lin,
+                    opts: ipm.IpmOptions = ipm.IpmOptions(),
+                    stepper: str = "rk4", warm=None) -> LtvResult:
+    """Dynamic-model LTV-MPC tick.
+
+    (``mpc/ltv/dynamic/ltvmpc_dynamic_curvilinear.m``: RK4 linearizer, four
+    slacks weighted [1e8, 1e6, 1e6, 1e4] for track / rear-slip / front-slip
+    / friction-polygon softening.)  ``x_ref``: (N, 7) time-major.
+    """
+    N = mpc.n_steps
+    (H, g, A, lb, ub, lbA, ubA, const), (Ad, Bd, dd) = build_qp_dynamic(
+        x0, x_ref, track, params, mpc, x_lin, u_lin, stepper)
 
     res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=warm)
     u_flat = res.x[:N * 2]

@@ -31,7 +31,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import linalg as xlinalg
 
 LANES = 128          # batch elements per grid step (TPU lane width)
-_EPS = 1e-30
 
 
 def _interpret() -> bool:
@@ -43,7 +42,13 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def _factor_kernel(k_ref, l_ref):
-    """Left-looking Cholesky of (n, n, TB): L columns overwrite l_ref."""
+    """Left-looking Cholesky of (n, n, TB): L columns overwrite l_ref.
+
+    A non-positive pivot (indefinite K) poisons that instance's factor
+    with NaN instead of being silently clamped: the IPM's finite-iterate
+    rejection (``ops/ipm.py``: ``good``/inertia escalation) then handles
+    the breakdown exactly as it does for the XLA backends.
+    """
     n = k_ref.shape[0]
     for j in range(n):
         if j == 0:
@@ -51,7 +56,8 @@ def _factor_kernel(k_ref, l_ref):
         else:
             c = k_ref[j:, j, :] - jnp.sum(
                 l_ref[j:, :j, :] * l_ref[j, :j, :][None, :, :], axis=1)
-        d = jax.lax.rsqrt(jnp.maximum(c[0], _EPS))               # (TB,)
+        piv = jnp.where(c[0] > 0.0, c[0], jnp.nan)               # (TB,)
+        d = jax.lax.rsqrt(piv)
         l_ref[j:, j, :] = c * d[None, :]
 
 

@@ -28,3 +28,68 @@ def highest(fn):
         with jax.default_matmul_precision("highest"):
             return fn(*args, **kwargs)
     return wrapped
+
+
+# ---------------------------------------------------------------------------
+# double-f32 (error-free transform) helpers
+# ---------------------------------------------------------------------------
+#
+# TPUs have no native f64.  For the one place the MPC pipeline genuinely
+# needs more than f32 -- evaluating the residual gradient g + H @ x at a
+# near-optimal iterate, where ~1e6-magnitude terms cancel to O(1) -- we
+# compute the sum with error-free transformations: Dekker-split exact
+# partial products plus a double-compensated (hi, lo) tree reduction.
+# Everything is plain f32 VPU arithmetic, so it runs at full speed on any
+# backend and keeps ~2x f32 precision (~48 mantissa bits).
+
+_SPLIT = 4097.0        # 2**12 + 1: Dekker split constant for f32 (24-bit)
+
+
+def _split(a):
+    """Exact split a = hi + lo with <=12-bit mantissas each."""
+    import jax.numpy as jnp
+    t = jnp.asarray(_SPLIT, a.dtype) * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def _dd_add(a, b):
+    """Add two double-f32 numbers (hi, lo) -> (hi, lo) (Knuth two-sum)."""
+    ah, al = a
+    bh, bl = b
+    s = ah + bh
+    v = s - ah
+    e = (ah - (s - v)) + (bh - v)
+    e = e + (al + bl)
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def residual_affine(M, x, b):
+    """Compute ``b + M @ x`` to ~double-f32 accuracy.  Returns (hi, lo).
+
+    The four Dekker-split partial products are each exactly representable
+    in f32; the row sums are reduced pairwise in double-f32.  Cost: ~4
+    elementwise (m, n) products + a log2(n)-depth compensated tree -- VPU
+    work, no MXU involvement, so it is cheap relative to one KKT solve.
+    """
+    import jax.numpy as jnp
+
+    m, n = M.shape
+    M1, M2 = _split(M)
+    x1, x2 = _split(x)
+    # exact partial products (12x12- and 12x24-bit mantissa products)
+    hi = jnp.concatenate([
+        b[:, None], M1 * x1[None, :], M1 * x2[None, :],
+        M2 * x1[None, :], M2 * x2[None, :]], axis=1)       # (m, 4n+1)
+    lo = jnp.zeros_like(hi)
+    T = hi.shape[1]
+    # pad to a power of two, then halve with dd_add until one column is left
+    P = 1 << (T - 1).bit_length()
+    hi = jnp.pad(hi, ((0, 0), (0, P - T)))
+    lo = jnp.pad(lo, ((0, 0), (0, P - T)))
+    while P > 1:
+        P //= 2
+        hi, lo = _dd_add((hi[:, :P], lo[:, :P]), (hi[:, P:], lo[:, P:]))
+    return hi[:, 0], lo[:, 0]

@@ -43,6 +43,13 @@ class SimConfig:
     n_ticks: int = 1000
     n_substeps: int = 10
     sqp_iters: int = 3              # SQP iterations per tick (NMPC modes)
+    stepper: str = "rk2"            # MS-NMPC shooting integrator
+                                    # ("euler" | "rk2" | "rk4" -- the
+                                    # reference's {euler,rk2,rk4}_nmpc_*.m)
+    transcription: str = "trapezoidal"  # C-NMPC transcription
+                                    # ("trapezoidal" | "hs"; hs =
+                                    # Hermite-Simpson, kinematic only,
+                                    # hs_nmpc_kinematic_curvilinear.m)
     reference: str = "speed_ramp"   # "speed_ramp" (main.m:106-114) |
                                     # "raceline" (planner tracking, main.m:115)
     mpc: MPCParams = MPCParams()
@@ -88,9 +95,14 @@ def _initial_guess(cfg: SimConfig, dtype):
     """MPC warm-start trajectory (``main.m:44-48``): quadratic arclength,
     linear velocity ramp at 10 m/s^2, constant accel control."""
     N = cfg.mpc.n_steps
-    if cfg.mode == "c-nmpc":
-        N = N + 1  # collocation keeps the initial point (main.m:50-51)
     dt = cfg.mpc.dt
+    if cfg.mode == "c-nmpc":
+        if cfg.transcription == "hs":
+            # 2N+1 points at dt/2 spacing (hs_nmpc_kinematic_curvilinear.m:25)
+            N = 2 * N + 1
+            dt = dt / 2.0
+        else:
+            N = N + 1  # collocation keeps the initial point (main.m:50-51)
     nx = 5 if cfg.model == "kinematic" else 7
     t = dt * jnp.arange(1, N + 1, dtype=dtype)
     x_opt = jnp.zeros((N, nx), dtype)
@@ -154,7 +166,19 @@ def simulate(track, params: VehicleParams = VehicleParams(),
         base = sqp.ms_nmpc_kinematic if kinematic else sqp.ms_nmpc_dynamic
         solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts:
                   base(x0, x_ref, track, params, mpc, *sqp.shift_trajectory(
-                      x_lin, u_lin, _step), opts, sqp_iters=cfg.sqp_iters))
+                      x_lin, u_lin, _step), opts, stepper=cfg.stepper,
+                      sqp_iters=cfg.sqp_iters))
+    elif cfg.mode == "c-nmpc" and cfg.transcription == "hs":
+        if not kinematic:
+            raise ValueError("hs transcription is kinematic-only "
+                             "(reference parity: hs_nmpc_kinematic only)")
+        _step_half = lambda x, u: _integ.rk2_step(_f, x, u, cfg.mpc.dt / 2.0)
+        solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts:
+                  collocation.hs_nmpc_kinematic(
+                      x0, x_ref, track, params, mpc,
+                      *collocation.hs_shift_trajectory(x_lin, u_lin,
+                                                       _step_half),
+                      opts, sqp_iters=cfg.sqp_iters))
     elif cfg.mode == "c-nmpc":
         base = (collocation.trapezoidal_nmpc_kinematic if kinematic
                 else collocation.trapezoidal_nmpc_dynamic)
@@ -210,8 +234,12 @@ def simulate(track, params: VehicleParams = VehicleParams(),
                          cfg.ipm)
 
         # actuation setpoints: first predicted stage (main.m:167-173); for
-        # collocation the first *free* point is index 1 (point 0 is x0)
-        lead = 1 if cfg.mode == "c-nmpc" else 0
+        # collocation the first *free* point is index 1 (point 0 is x0;
+        # for HS points are at dt/2 so the first full knot is index 2)
+        if cfg.mode == "c-nmpc":
+            lead = 2 if cfg.transcription == "hs" else 1
+        else:
+            lead = 0
         v_ref = res.x_opt[lead, 3]
         delta_ref = res.x_opt[lead, nx - 1]
         x_new, pids_new = plant_substeps(x, v_ref, delta_ref, pids)

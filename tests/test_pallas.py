@@ -80,3 +80,47 @@ def test_ipm_pallas_path_matches_blocked():
 
     np.testing.assert_allclose(solve("pallas"), solve("blocked"),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_factor_lanes_indefinite_poisons_nan():
+    """An indefinite K must yield NaN in its factor, not silent garbage
+    (the 1e-30 pivot clamp this replaces could return finite-but-wrong
+    directions that bypass the IPM's breakdown detection)."""
+    K = _spd_batch(jax.random.key(10), 4, 16)
+    K = K.at[2].set(K[2] - 40.0 * jnp.eye(16, dtype=K.dtype))  # indefinite
+    L = np.tril(np.asarray(pchol.factor_lanes(K)))  # upper part is scratch
+    assert np.all(np.isfinite(L[0]))
+    assert np.all(np.isfinite(L[1]))
+    assert not np.all(np.isfinite(L[2]))
+    assert np.all(np.isfinite(L[3]))
+
+
+@pytest.mark.parametrize("chol", ["pallas", "blocked"])
+def test_ipm_indefinite_escalates_regularisation(chol):
+    """A (slightly) indefinite Hessian trips the factorisation; the IPM's
+    NaN rejection + inertia escalation must still produce a finite,
+    feasible iterate under both Cholesky backends
+    (``ops/ipm.py``: ``good`` / ``regm_next``)."""
+    from fsae_mpc_tpu.ops import ipm
+
+    n, m = 10, 6
+    key = jax.random.key(11)
+    M = jax.random.normal(key, (n, n), jnp.float64)
+    H = M @ M.T + n * jnp.eye(n, dtype=jnp.float64)
+    # one strongly negative eigenvalue -> K = H + A'DA + D_b indefinite at
+    # the start (bound duals contribute only ~1 to the diagonal)
+    w, V = jnp.linalg.eigh(H)
+    H = (V * w.at[-1].set(-5.0 * w[-1])) @ V.T
+    g = jax.random.normal(jax.random.key(12), (n,), jnp.float64)
+    A = jax.random.normal(jax.random.key(13), (m, n), jnp.float64)
+    lb, ub = -jnp.ones((n,)), jnp.ones((n,))
+    lbA, ubA = -2 * jnp.ones((m,)), 2 * jnp.ones((m,))
+
+    opts = ipm.IpmOptions(max_iters=30, chol=chol, init="basic")
+    res = jax.vmap(lambda *a: ipm.solve_qp(*a, opts))(
+        *[a[None] for a in (H, g, A, lb, ub, lbA, ubA)])
+    x = np.asarray(res.x[0])
+    assert np.all(np.isfinite(x)), f"{chol}: non-finite iterate"
+    assert np.all(x >= -1.0 - 1e-6) and np.all(x <= 1.0 + 1e-6)
+    y = np.asarray(A) @ x
+    assert np.all(y >= -2.0 - 1e-5) and np.all(y <= 2.0 + 1e-5)
