@@ -32,7 +32,8 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
-N_TICKS = 700      # > any lap at the 20 m/s target (reference caps at 1000)
+N_TICKS = 1000     # the reference's cap (main.m:62); fso2020 (385 m) needs
+                   # ~900 ticks under the slower kinematic controller
 
 
 def run_matrix(f32: bool = False):
@@ -46,6 +47,9 @@ def run_matrix(f32: bool = False):
     dtype = jnp.float32 if f32 else jnp.float64
 
     tracks = ["fsg2019", "fso2020", "fss2019"] if not f32 else ["fsg2019"]
+    only = os.environ.get("LAP_TRACKS")
+    if only:
+        tracks = [t for t in tracks if t in only.split(",")]
     configs = [
         ("ltv", "kinematic", {}),
         ("ltv", "dynamic", {}),

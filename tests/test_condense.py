@@ -60,3 +60,18 @@ def test_rollout_equals_condensed_prediction():
     pred = (np.asarray(A) @ x0 + np.asarray(B) @ u.reshape(-1)
             + np.asarray(d))
     np.testing.assert_allclose(np.asarray(xs), pred, atol=1e-12)
+
+
+def test_condense_dnc_matches_scan():
+    """Divide-and-conquer condensing == the scan, incl. non-power-of-2 N."""
+    from fsae_mpc_tpu.ops.condense import condense, condense_dnc
+    rng = np.random.default_rng(7)
+    for N, nx, nu in [(40, 7, 2), (5, 3, 2), (1, 4, 2), (64, 5, 1)]:
+        Ad = jnp.asarray(rng.standard_normal((N, nx, nx)) * 0.3 + np.eye(nx))
+        Bd = jnp.asarray(rng.standard_normal((N, nx, nu)))
+        dd = jnp.asarray(rng.standard_normal((N, nx)))
+        ref = condense(Ad, Bd, dd)
+        out = condense_dnc(Ad, Bd, dd)
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-10, atol=1e-10)
