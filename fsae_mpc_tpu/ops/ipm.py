@@ -40,6 +40,22 @@ from jax import lax
 from . import linalg as xlinalg
 from .pallas import chol as pchol
 from .precision import highest as _highest_precision
+from .structured import StageRows, is_structured
+
+
+def _mv(A, x):
+    """A @ x for dense or stage-structured A."""
+    return A.matvec(x) if is_structured(A) else A @ x
+
+
+def _rmv(A, z):
+    """A' @ z for dense or stage-structured A."""
+    return A.rmatvec(z) if is_structured(A) else A.T @ z
+
+
+def _qf(A, d):
+    """A' diag(d) A for dense or stage-structured A."""
+    return A.quadform(d) if is_structured(A) else (A.T * d) @ A
 
 
 @dataclasses.dataclass(frozen=True)
@@ -264,29 +280,29 @@ def _polish(state, Hs, gs, A, lb_s, ub_s, lbA_s, ubA_s, masks, opts, eye,
 
     # the Hessian of the weighted AL is constant: factor ONCE, reuse across
     # polish iterations (rho is frozen at the IPM's ratios)
-    K = (Hs + (A.T * (rho[2] + rho[3])) @ A + jnp.diag(rho[0] + rho[1])
+    K = (Hs + _qf(A, rho[2] + rho[3]) + jnp.diag(rho[0] + rho[1])
          + reg * eye)
     solve2 = make_solver(K)
 
     def body(carry, _):
         # weighted-AL Newton step, then clipped multiplier update
         x, m = carry
-        y = A @ x
+        y = _mv(A, x)
         c = signed_slacks(x, y)
         h = tuple(jnp.maximum(mu - r * ci, 0.0) for mu, r, ci in
                   zip(m, rho, c))
-        grad = Hs @ x + gs - (h[0] - h[1]) - A.T @ (h[2] - h[3])
+        grad = Hs @ x + gs - (h[0] - h[1]) - _rmv(A, h[2] - h[3])
         dx = solve2(-grad)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
         x_new = x + dx
-        c_new = signed_slacks(x_new, A @ x_new)
+        c_new = signed_slacks(x_new, _mv(A, x_new))
         m_new = tuple(jnp.maximum(mu - r * ci, 0.0) for mu, r, ci in
                       zip(m, rho, c_new))
         return (x_new, m_new), None
 
     (x_p, m_p), _ = lax.scan(body, (x0, m0), None, length=opts.polish)
     hbl, hbu, hrl, hru = m_p
-    y_p = A @ x_p
+    y_p = _mv(A, x_p)
     # report true violations: slack = max(signed slack, 0) so the residual
     # fields expose any remaining constraint violation instead of hiding it
     sbl_p = jnp.where(mbl, jnp.maximum(x_p - lb_s, 0.0), 1.0)
@@ -334,7 +350,10 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
             xb = res.x
             g_hi, g_lo = residual_affine(H, xb, g)
             gd = g_hi + g_lo
-            y_hi, y_lo = residual_affine(A, xb, zero_m)
+            if is_structured(A):
+                y_hi, y_lo = A.matvec_compensated(xb)
+            else:
+                y_hi, y_lo = residual_affine(A, xb, zero_m)
             lbAd = (lbA - y_hi) - y_lo
             ubAd = (ubA - y_hi) - y_lo
             # the delta problem's optimal duals equal the original's:
@@ -350,7 +369,7 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
             # bounds.  This catches both divergence and the slack-column
             # corruption a small-looking dx can carry.
             dx = res2.x
-            Adx = A @ dx
+            Adx = _mv(A, dx)
 
             def _viol(db, dr):
                 vb = jnp.maximum(jnp.maximum(lbd - db, db - ubd), 0.0)
@@ -396,6 +415,7 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
             warm_i = dataclasses.replace(
                 warm, x=warm.x / vs, z_bounds=warm.z_bounds * vs)
         res = solve_qp(H * vs[:, None] * vs[None, :], g * vs,
+                       A.scale_cols(vs) if is_structured(A) else
                        A * vs[None, :], lb / vs, ub / vs, lbA, ubA, inner,
                        x0=None if x0 is None else x0 / vs, dtype=dtype,
                        warm=warm_i)
@@ -415,8 +435,13 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
 
     # ---- row equilibration (unit inf-norm general rows) ------------------
     if opts.equilibrate:
-        r_scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-12)
-        A = A * r_scale[:, None]
+        if is_structured(A):
+            # 2-norm row equilibration (the inf-norm needs dense rows)
+            r_scale = lax.rsqrt(jnp.maximum(A.row_sq_norms(), 1e-24))
+            A = A.scale_rows(r_scale)
+        else:
+            r_scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-12)
+            A = A * r_scale[:, None]
         lbA = lbA * r_scale          # r_scale > 0: directions and infinities
         ubA = ubA * r_scale          # are preserved
     else:
@@ -494,7 +519,7 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
 
     s_floor = opts.s_init if warm is None else opts.warm_floor
     z_floor = opts.z_init if warm is None else opts.warm_floor
-    y0 = A @ x0
+    y0 = _mv(A, x0)
 
     if warm is not None and opts.warm_duals == "centered":
         use_centered = True          # reuse the centered slack/dual placement
@@ -550,17 +575,21 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
 
     if opts.comp_resid:
         from .precision import residual_affine
-        A_Tn = -A.T                      # precomputed once per solve
+        if not is_structured(A):
+            A_Tn = -A.T                  # precomputed once per solve
 
     def residuals(state):
         x, sbl, sbu, srl, sru, zbl, zbu, zrl, zru = state
-        y = A @ x
+        y = _mv(A, x)
         if opts.comp_resid:
             h1, l1 = residual_affine(Hs, x, gs - (zbl - zbu))
-            h2, l2 = residual_affine(A_Tn, zrl - zru, h1)
+            if is_structured(A):
+                h2, l2 = A.rmatvec_compensated(-(zrl - zru), h1)
+            else:
+                h2, l2 = residual_affine(A_Tn, zrl - zru, h1)
             r_dual = h2 + (l2 + l1)
         else:
-            r_dual = (Hs @ x + gs - (zbl - zbu) - A.T @ (zrl - zru))
+            r_dual = (Hs @ x + gs - (zbl - zbu) - _rmv(A, zrl - zru))
         r_pbl = jnp.where(mbl, sbl - (x - lb_s), 0.0)
         r_pbu = jnp.where(mbu, sbu - (ub_s - x), 0.0)
         r_prl = jnp.where(mrl, srl - (y - lbA_s), 0.0)
@@ -621,7 +650,7 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         D_b = dbl + dbu
         D_r = drl + dru
 
-        K = Hs + (A.T * D_r) @ A + jnp.diag(D_b)
+        K = Hs + _qf(A, D_r) + jnp.diag(D_b)
         # static regularisation relative to the *Hessian* scale only -- the
         # complementarity diagonals z/s grow unboundedly near convergence and
         # must not inflate the shift (that freezes the dual residual).
@@ -637,9 +666,9 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
                    - jnp.where(mbu, (rc_bu + zbu * r_pbu) / sbu, 0.0))
             t_r = (jnp.where(mrl, (rc_rl + zrl * r_prl) / srl, 0.0)
                    - jnp.where(mru, (rc_ru + zru * r_pru) / sru, 0.0))
-            rhs = -r_dual + t_b + A.T @ t_r
+            rhs = -r_dual + t_b + _rmv(A, t_r)
             dx = ksolve(rhs)
-            dy = A @ dx
+            dy = _mv(A, dx)
             dsbl = jnp.where(mbl, dx - r_pbl, 0.0)
             dsbu = jnp.where(mbu, -dx - r_pbu, 0.0)
             dsrl = jnp.where(mrl, dy - r_prl, 0.0)
