@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from ..config import MPCParams, VehicleParams
 from ..models import curvilinear as cm
 from ..models import integrators
-from ..ops.condense import condense as _condense, rollout as _rollout
+from ..ops.condense import (condense as _condense,
+                            condense_dnc as _condense_dnc,
+                            rollout as _rollout)
 from ..ops import ipm
 from ..ops.precision import highest as _highest_precision
 from . import constraints as cons
@@ -44,6 +46,16 @@ class LtvResult:
 jax.tree_util.register_dataclass(
     LtvResult, data_fields=["u_opt", "x_opt", "slack", "fval", "qp"],
     meta_fields=[])
+
+
+# Condensing backends (reference ``sequential_integration.m:21-47``):
+# "scan" = O(N)-depth lax.scan; "dnc" = log-depth divide-and-conquer
+# (ops/condense.py:condense_dnc) -- ~6 MXU dispatches instead of 40
+# latency-bound scan steps.  Both oracle-tested (tests/test_condense.py);
+# the default is chosen by on-chip tick-level measurement
+# (AB_STRUCTURED.json / PROFILE_r03.json).
+CONDENSERS = {"scan": _condense, "dnc": _condense_dnc}
+DEFAULT_CONDENSE = "scan"
 
 
 @_highest_precision
@@ -235,7 +247,8 @@ def _control_bounds(mpc: MPCParams, N, dtype):
 def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
                       mpc: MPCParams, x_lin, u_lin,
                       opts: ipm.IpmOptions = ipm.IpmOptions(),
-                      stepper: str = "rk2", warm=None) -> LtvResult:
+                      stepper: str = "rk2", warm=None,
+                      condense: str | None = None) -> LtvResult:
     """Kinematic-model LTV-MPC tick.
 
     (``mpc/ltv/kinematic/ltvmpc_kinetmatic_curvilinear.m``: RK2 linearizer,
@@ -248,7 +261,7 @@ def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
     step = lambda x, u: integrators.STEPPERS[stepper](f, x, u, mpc.dt)
 
     Ad, Bd, dd = integrators.linearize_discrete(step, x_lin, u_lin)
-    A_bar, B_bar, d_bar = _condense(Ad, Bd, dd)
+    A_bar, B_bar, d_bar = CONDENSERS[condense or DEFAULT_CONDENSE](Ad, Bd, dd)
 
     q = jnp.asarray([mpc.q_s, mpc.q_n, mpc.q_mu, 0.0, 0.0], dtype)
     q_diag = jnp.concatenate([jnp.tile(q, N - 1), q * mpc.q_terminal_scale])
@@ -280,14 +293,16 @@ def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
 
 def build_qp_dynamic(x0, x_ref, track, params: VehicleParams,
                      mpc: MPCParams, x_lin, u_lin, stepper: str = "rk4",
-                     structured: bool = False):
+                     structured: bool = False, condense: str | None = None):
     """Assemble the dynamic-model LTV QP for one tick.
 
     Returns ``((H, g, A, lb, ub, lbA, ubA, const), (Ad, Bd, dd))`` -- the
     condensed QP plus the discrete linearisation (needed to recover the
     predicted states from the control solution).  ``structured=True``
-    returns A as an :class:`ops.structured.StageRows` (the hot-path
-    representation: ~3x less solver HBM traffic; see ops/structured.py).
+    returns A as an :class:`ops.structured.StageRows` (avoids
+    materialising the (800, 84) dense A; measured slower than dense on
+    the chip at batch 1024 -- see AB_STRUCTURED.json -- so off by
+    default).
     """
     N = mpc.n_steps
     dtype = x_lin.dtype
@@ -295,7 +310,7 @@ def build_qp_dynamic(x0, x_ref, track, params: VehicleParams,
     step = lambda x, u: integrators.STEPPERS[stepper](f, x, u, mpc.dt)
 
     Ad, Bd, dd = integrators.linearize_discrete(step, x_lin, u_lin)
-    A_bar, B_bar, d_bar = _condense(Ad, Bd, dd)
+    A_bar, B_bar, d_bar = CONDENSERS[condense or DEFAULT_CONDENSE](Ad, Bd, dd)
 
     q = jnp.asarray([mpc.q_s, mpc.q_n, mpc.q_mu, 0.0, 0.0, 0.0, 0.0], dtype)
     q_diag = jnp.concatenate([jnp.tile(q, N - 1), q * mpc.q_terminal_scale])
@@ -328,23 +343,26 @@ def ltv_mpc_dynamic(x0, x_ref, track, params: VehicleParams,
                     mpc: MPCParams, x_lin, u_lin,
                     opts: ipm.IpmOptions = ipm.IpmOptions(),
                     stepper: str = "rk4", warm=None,
-                    structured: bool = True) -> LtvResult:
+                    structured: bool = False,
+                    condense: str | None = None) -> LtvResult:
     """Dynamic-model LTV-MPC tick.
 
     (``mpc/ltv/dynamic/ltvmpc_dynamic_curvilinear.m``: RK4 linearizer, four
     slacks weighted [1e8, 1e6, 1e6, 1e4] for track / rear-slip / front-slip
     / friction-polygon softening.)  ``x_ref``: (N, 7) time-major.
 
-    ``structured=True`` (default) keeps the 800 constraint rows in the
-    stage-basis representation all the way through the IPM -- same
-    solution (tested to 1e-9 vs dense in f64), ~3x less per-iteration HBM
-    traffic.  Note its dual vector (``res.qp.z_rows``) is ordered
-    stage-major, so warm starts must come from a same-layout solve.
+    ``structured=True`` keeps the 800 constraint rows in the stage-basis
+    representation through the IPM (same solution: tests/test_structured.py
+    checks dense-vs-structured solve equality).  Measured ON THE CHIP at
+    the production batch size it is SLOWER than the dense path (see
+    AB_STRUCTURED.json), so dense is the default.  Note the structured
+    dual vector (``res.qp.z_rows``) is ordered stage-major, so warm starts
+    must come from a same-layout solve.
     """
     N = mpc.n_steps
     (H, g, A, lb, ub, lbA, ubA, const), (Ad, Bd, dd) = build_qp_dynamic(
         x0, x_ref, track, params, mpc, x_lin, u_lin, stepper,
-        structured=structured)
+        structured=structured, condense=condense)
 
     res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=warm)
     u_flat = res.x[:N * 2]
