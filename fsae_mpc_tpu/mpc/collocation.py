@@ -33,7 +33,7 @@ from ..ops import ipm
 from ..ops.linalg import solve_unrolled
 from . import constraints as cons
 from .ltv import assemble_condensed_qp
-from .sqp import SqpResult
+from .sqp import SqpResult, run_sqp
 
 
 def _linearize_continuous(f, x_pts, u_pts):
@@ -92,7 +92,7 @@ def _collocation_weights(mpc: MPCParams, nx, N, dtype):
 def trapezoidal_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
                                mpc: MPCParams, x_init, u_init,
                                opts: ipm.IpmOptions = ipm.IpmOptions(),
-                               sqp_iters: int = 3) -> SqpResult:
+                               sqp_iters: int = 3, warm=None) -> SqpResult:
     """Trapezoidal C-NMPC, kinematic model
     (``trapezoidal_nmpc_kinematic_curvilinear.m``).
 
@@ -107,7 +107,7 @@ def trapezoidal_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
                     (N + 1, 1))
     u_ub = -u_lb
 
-    def sqp_iter(carry, _):
+    def sqp_iter(carry, qp_warm):
         x_pts, u_pts = carry
         x_pts = x_pts.at[0].set(x0)
         Ad, Ba, Bb, dd = _trapezoidal_stages(f, x_pts, u_pts, mpc.dt)
@@ -127,7 +127,7 @@ def trapezoidal_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, [mpc.w_track],
             groups, u_lb, u_ub)
-        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
+        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=qp_warm)
         u_new = res.x[:(N + 1) * 2].reshape(N + 1, 2)
 
         def roll(x, inp):
@@ -140,9 +140,7 @@ def trapezoidal_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
         x_new = jnp.concatenate([x0[None], x_new_tail], axis=0)
         return (x_new, u_new), (res.x[(N + 1) * 2:], res.objective + const, res)
 
-    (x_opt, u_opt), (slacks, fvals, results) = lax.scan(
-        sqp_iter, (x_init, u_init), None, length=sqp_iters)
-    last = jax.tree_util.tree_map(lambda a: a[-1], (slacks, fvals, results))
+    x_opt, u_opt, last = run_sqp(sqp_iter, x_init, u_init, sqp_iters, warm)
     return SqpResult(x_opt=x_opt, u_opt=u_opt, slack=last[0],
                      fval=last[1], qp=last[2])
 
@@ -219,7 +217,7 @@ def _hs_stages(f, x_knots, x_mids, u_pts, dt):
 def hs_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
                       mpc: MPCParams, x_init, u_init,
                       opts: ipm.IpmOptions = ipm.IpmOptions(),
-                      sqp_iters: int = 3) -> SqpResult:
+                      sqp_iters: int = 3, warm=None) -> SqpResult:
     """Hermite-Simpson C-NMPC, kinematic model
     (``hs_nmpc_kinematic_curvilinear.m``): 2N+1 collocation points with
     midpoints eliminated analytically, Simpson cost weights
@@ -270,7 +268,7 @@ def hs_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
     u_ub = -u_lb
     NCnu = NC * nu
 
-    def sqp_iter(carry, _):
+    def sqp_iter(carry, qp_warm):
         x_pts, u_pts = carry
         x_pts = x_pts.at[0].set(x0)
         x_knots = x_pts[0::2]
@@ -336,7 +334,7 @@ def hs_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_all, B_all, d_all, x0, x_ref_all, q_diag, r_diag,
             [mpc.w_track], groups, u_lb, u_ub)
-        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
+        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=qp_warm)
         u_new = res.x[:NCnu].reshape(NC, nu)
 
         x_all_new = (jnp.einsum("nij,j->ni", A_all, x0)
@@ -345,9 +343,7 @@ def hs_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
         x_new = jnp.concatenate([x0[None], x_all_new], axis=0)
         return (x_new, u_new), (res.x[NCnu:], res.objective + const, res)
 
-    (x_opt, u_opt), (slacks, fvals, results) = lax.scan(
-        sqp_iter, (x_init, u_init), None, length=sqp_iters)
-    last = jax.tree_util.tree_map(lambda a: a[-1], (slacks, fvals, results))
+    x_opt, u_opt, last = run_sqp(sqp_iter, x_init, u_init, sqp_iters, warm)
     return SqpResult(x_opt=x_opt, u_opt=u_opt, slack=last[0],
                      fval=last[1], qp=last[2])
 
@@ -356,7 +352,7 @@ def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
                              mpc: MPCParams, x_init, u_init,
                              opts: ipm.IpmOptions = ipm.IpmOptions(),
                              sqp_iters: int = 3,
-                             trust_u=(4.0, 0.3)) -> SqpResult:
+                             trust_u=(4.0, 0.3), warm=None) -> SqpResult:
     """Trapezoidal C-NMPC, dynamic model
     (``trapezoidal_nmpc_dynamic_curvilinear.m``): exact friction-ellipse
     rows at every collocation point (incl. point 0 through its control),
@@ -373,7 +369,7 @@ def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
     fr_rows = np.concatenate([[-1], np.arange(N)])   # points 0..N
     fr_cols = np.arange(N + 1)
 
-    def sqp_iter(carry, _):
+    def sqp_iter(carry, qp_warm):
         x_pts, u_pts = carry
         x_pts = x_pts.at[0].set(x0)
         Ad, Ba, Bb, dd = _trapezoidal_stages(f, x_pts, u_pts, mpc.dt)
@@ -398,7 +394,7 @@ def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
             [mpc.w_track, mpc.w_slip], groups, lb_eff, ub_eff)
-        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
+        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=qp_warm)
         u_new = res.x[:(N + 1) * 2].reshape(N + 1, 2)
 
         def roll(x, inp):
@@ -411,9 +407,7 @@ def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
         x_new = jnp.concatenate([x0[None], x_new_tail], axis=0)
         return (x_new, u_new), (res.x[(N + 1) * 2:], res.objective + const, res)
 
-    (x_opt, u_opt), (slacks, fvals, results) = lax.scan(
-        sqp_iter, (x_init, u_init), None, length=sqp_iters)
-    last = jax.tree_util.tree_map(lambda a: a[-1], (slacks, fvals, results))
+    x_opt, u_opt, last = run_sqp(sqp_iter, x_init, u_init, sqp_iters, warm)
     return SqpResult(x_opt=x_opt, u_opt=u_opt, slack=last[0],
                      fval=last[1], qp=last[2])
 

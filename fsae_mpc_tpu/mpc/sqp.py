@@ -53,6 +53,35 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
+def run_sqp(sqp_iter, x_init, u_init, sqp_iters: int, warm):
+    """Shared SQP driver with subproblem warm-starting.
+
+    ``sqp_iter((x_lin, u_lin), warm)`` solves one convex subproblem
+    (``warm``: an :class:`ops.ipm.IpmResult` or ``None``) and returns
+    ``((x_new, u_new), (slack, fval, res))``.  The driver unrolls the
+    first subproblem (cold-centered when ``warm is None``, else started
+    from the previous tick's solution -- the analogue of the reference's
+    IPOPT zl/zu/lambda warm start, ``rk2_nmpc_kinematic_curvilinear.m:
+    14-20``) and warm-starts every later subproblem from its predecessor
+    inside a rolled ``lax.scan``.
+
+    Returns ``(x_opt, u_opt, (slack, fval, res))`` of the last iterate.
+    """
+    carry, out1 = sqp_iter((x_init, u_init), warm)
+    if sqp_iters <= 1:
+        return carry[0], carry[1], out1
+
+    def body(c, _):
+        (x, u, res_prev) = c
+        (x_n, u_n), out = sqp_iter((x, u), res_prev)
+        return (x_n, u_n, out[2]), out
+
+    (x_opt, u_opt, _), outs = lax.scan(
+        body, (*carry, out1[2]), None, length=sqp_iters - 1)
+    last = jax.tree_util.tree_map(lambda a: a[-1], outs)
+    return x_opt, u_opt, last
+
+
 def shift_trajectory(x_opt, u_opt, step_fn):
     """Warm-start shift: drop the first stage, roll the last stage forward
     one step (``rk2_nmpc_kinematic_curvilinear.m:62-65``)."""
@@ -73,7 +102,8 @@ def _nmpc_weights(mpc: MPCParams, nx, N, dtype):
 def ms_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
                       mpc: MPCParams, x_init, u_init,
                       opts: ipm.IpmOptions = ipm.IpmOptions(),
-                      stepper: str = "rk2", sqp_iters: int = 3) -> SqpResult:
+                      stepper: str = "rk2", sqp_iters: int = 3,
+                      warm=None) -> SqpResult:
     """Multiple-shooting NMPC, kinematic model.
 
     Equivalent problem to ``{euler,rk2,rk4}_nmpc_kinematic_curvilinear.m``:
@@ -89,7 +119,7 @@ def ms_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
     q_diag, r_diag = _nmpc_weights(mpc, 5, N, dtype)
     u_lb, u_ub = _control_bounds(mpc, N, dtype)
 
-    def sqp_iter(carry, _):
+    def sqp_iter(carry, qp_warm):
         x_lin, u_lin = carry
         # Newton linearisation of the defect x_i = step(x_{i-1}, u_i): the
         # step is linearised at its ORIGIN state (reference NMPC Jacobians,
@@ -111,14 +141,12 @@ def ms_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, [mpc.w_track],
             groups, u_lb, u_ub)
-        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
+        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=qp_warm)
         u_new = res.x[:N * 2].reshape(N, 2)
         x_new = rollout(Ad, Bd, dd, x0, u_new)
         return (x_new, u_new), (res.x[N * 2:], res.objective + const, res)
 
-    (x_opt, u_opt), (slacks, fvals, results) = lax.scan(
-        sqp_iter, (x_init, u_init), None, length=sqp_iters)
-    last = jax.tree_util.tree_map(lambda a: a[-1], (slacks, fvals, results))
+    x_opt, u_opt, last = run_sqp(sqp_iter, x_init, u_init, sqp_iters, warm)
     return SqpResult(x_opt=x_opt, u_opt=u_opt, slack=last[0],
                      fval=last[1], qp=last[2])
 
@@ -127,7 +155,7 @@ def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
                     mpc: MPCParams, x_init, u_init,
                     opts: ipm.IpmOptions = ipm.IpmOptions(),
                     stepper: str = "rk2", sqp_iters: int = 3,
-                    trust_u=(4.0, 0.3)) -> SqpResult:
+                    trust_u=(4.0, 0.3), warm=None) -> SqpResult:
     """Multiple-shooting NMPC, dynamic model.
 
     Equivalent problem to ``{euler,rk2,rk4}_nmpc_dynamic_curvilinear.m``:
@@ -154,7 +182,7 @@ def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
 
     pre_rows = np.concatenate([[-1], np.arange(N - 1)])
 
-    def sqp_iter(carry, _):
+    def sqp_iter(carry, qp_warm):
         x_lin, u_lin = carry
         # origin-state Newton linearisation (see ms_nmpc_kinematic)
         x_pre = jnp.concatenate([x0[None], x_lin[:-1]], axis=0)
@@ -176,13 +204,11 @@ def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
             [mpc.w_track, mpc.w_slip], groups, lb_eff, ub_eff)
-        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts)
+        res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=qp_warm)
         u_new = res.x[:N * 2].reshape(N, 2)
         x_new = rollout(Ad, Bd, dd, x0, u_new)
         return (x_new, u_new), (res.x[N * 2:], res.objective + const, res)
 
-    (x_opt, u_opt), (slacks, fvals, results) = lax.scan(
-        sqp_iter, (x_init, u_init), None, length=sqp_iters)
-    last = jax.tree_util.tree_map(lambda a: a[-1], (slacks, fvals, results))
+    x_opt, u_opt, last = run_sqp(sqp_iter, x_init, u_init, sqp_iters, warm)
     return SqpResult(x_opt=x_opt, u_opt=u_opt, slack=last[0],
                      fval=last[1], qp=last[2])

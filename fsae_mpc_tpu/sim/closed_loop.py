@@ -128,16 +128,11 @@ def _reference(cfg: SimConfig, x0, plant_vx, dtype):
     return x_ref
 
 
-def simulate(track, params: VehicleParams = VehicleParams(),
-             cfg: SimConfig = SimConfig(), x_init=None,
-             plan=None) -> SimOutputs:
-    """Run one closed-loop simulation.  jit/vmap-safe.
-
-    ``x_init``: optional (7,) initial Cartesian plant state (default zeros,
-    ``main.m:63``).  ``plan``: a ``PlannerResult`` (dynamic planner) when
-    ``cfg.reference == "raceline"`` -- the MPC then tracks the time-resampled
-    minimum-time raceline instead of the speed ramp.
-    """
+def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
+                plan):
+    """Construct the per-tick transition ``tick(carry, _) -> (carry, out)``
+    and its initial carry.  Shared by the scanned (:func:`simulate`) and the
+    host-stepped timed (:func:`simulate_timed`) drivers."""
     dtype = track.px.dtype
     kinematic = cfg.model == "kinematic"
     nx = 5 if kinematic else 7
@@ -156,7 +151,10 @@ def simulate(track, params: VehicleParams = VehicleParams(),
         _f = lambda x, u: _cm.f_curv_dyn_only(x, u, track, params)
     _step = lambda x, u: _integ.rk2_step(_f, x, u, cfg.mpc.dt)
 
-    use_warm = cfg.mode == "ltv"
+    # Every mode carries the previous tick's duals/primal through the sim
+    # scan and warm-starts its (sub)problems from them -- the LTV analogue
+    # of qpOASES hot-start and the NMPC analogue of IPOPT's zl/zu/lambda
+    # warm start (``rk2_nmpc_kinematic_curvilinear.m:14-20``).
     if cfg.mode == "ltv":
         base_ltv = ltv.ltv_mpc_kinematic if kinematic else ltv.ltv_mpc_dynamic
         solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts,
@@ -164,27 +162,31 @@ def simulate(track, params: VehicleParams = VehicleParams(),
                                       u_lin, opts, warm=warm))
     elif cfg.mode == "ms-nmpc":
         base = sqp.ms_nmpc_kinematic if kinematic else sqp.ms_nmpc_dynamic
-        solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts:
+        solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts,
+                  warm=None:
                   base(x0, x_ref, track, params, mpc, *sqp.shift_trajectory(
                       x_lin, u_lin, _step), opts, stepper=cfg.stepper,
-                      sqp_iters=cfg.sqp_iters))
+                      sqp_iters=cfg.sqp_iters, warm=warm))
     elif cfg.mode == "c-nmpc" and cfg.transcription == "hs":
         if not kinematic:
             raise ValueError("hs transcription is kinematic-only "
                              "(reference parity: hs_nmpc_kinematic only)")
         _step_half = lambda x, u: _integ.rk2_step(_f, x, u, cfg.mpc.dt / 2.0)
-        solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts:
+        solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts,
+                  warm=None:
                   collocation.hs_nmpc_kinematic(
                       x0, x_ref, track, params, mpc,
                       *collocation.hs_shift_trajectory(x_lin, u_lin,
                                                        _step_half),
-                      opts, sqp_iters=cfg.sqp_iters))
+                      opts, sqp_iters=cfg.sqp_iters, warm=warm))
     elif cfg.mode == "c-nmpc":
         base = (collocation.trapezoidal_nmpc_kinematic if kinematic
                 else collocation.trapezoidal_nmpc_dynamic)
-        solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts:
+        solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts,
+                  warm=None:
                   base(x0, x_ref, track, params, mpc, *sqp.shift_trajectory(
-                      x_lin, u_lin, _step), opts, sqp_iters=cfg.sqp_iters))
+                      x_lin, u_lin, _step), opts, sqp_iters=cfg.sqp_iters,
+                      warm=warm))
     else:
         raise ValueError(f"unknown mode {cfg.mode}")
 
@@ -226,12 +228,8 @@ def simulate(track, params: VehicleParams = VehicleParams(),
         else:
             x_ref = _reference(cfg, x0, x[3], dtype)
 
-        if use_warm:
-            res = solver(x0, x_ref, track, params, cfg.mpc, x_opt, u_opt,
-                         cfg.ipm, warm=qp_prev)
-        else:
-            res = solver(x0, x_ref, track, params, cfg.mpc, x_opt, u_opt,
-                         cfg.ipm)
+        res = solver(x0, x_ref, track, params, cfg.mpc, x_opt, u_opt,
+                     cfg.ipm, warm=qp_prev)
 
         # actuation setpoints: first predicted stage (main.m:167-173); for
         # collocation the first *free* point is index 1 (point 0 is x0;
@@ -272,11 +270,8 @@ def simulate(track, params: VehicleParams = VehicleParams(),
     def _solve_for_shape():
         x0_t = jnp.zeros((nx,), dtype)
         x_ref_t = jnp.zeros((cfg.mpc.n_steps, nx), dtype)
-        if use_warm:
-            return solver(x0_t, x_ref_t, track, params, cfg.mpc, x_opt0,
-                          u_opt0, cfg.ipm)
-        return solver(x0_t, x_ref_t, track, params, cfg.mpc, x_opt0, u_opt0,
-                      cfg.ipm)
+        return solver(x0_t, x_ref_t, track, params, cfg.mpc, x_opt0,
+                      u_opt0, cfg.ipm)
 
     shape = jax.eval_shape(_solve_for_shape)
     qp0 = jax.tree_util.tree_map(
@@ -284,9 +279,73 @@ def simulate(track, params: VehicleParams = VehicleParams(),
 
     carry0 = (x_init.astype(dtype), x_opt0, u_opt0, pids0,
               jnp.zeros((), jnp.bool_), qp0)
-    _, tr = lax.scan(tick, carry0, None, length=cfg.n_ticks)
+    return tick, carry0
 
-    return _summarise(tr, cfg, params, dtype)
+
+def simulate(track, params: VehicleParams = VehicleParams(),
+             cfg: SimConfig = SimConfig(), x_init=None,
+             plan=None) -> SimOutputs:
+    """Run one closed-loop simulation.  jit/vmap-safe.
+
+    ``x_init``: optional (7,) initial Cartesian plant state (default zeros,
+    ``main.m:63``).  ``plan``: a ``PlannerResult`` (dynamic planner) when
+    ``cfg.reference == "raceline"`` -- the MPC then tracks the time-resampled
+    minimum-time raceline instead of the speed ramp.
+    """
+    tick, carry0 = _build_tick(track, params, cfg, x_init, plan)
+    _, tr = lax.scan(tick, carry0, None, length=cfg.n_ticks)
+    return _summarise(tr, cfg, params, track.px.dtype)
+
+
+def simulate_timed(track, params: VehicleParams = VehicleParams(),
+                   cfg: SimConfig = SimConfig(), x_init=None, plan=None):
+    """Host-stepped :func:`simulate` that wall-clock-times every control
+    tick -- the analogue of the reference's per-solve tic/toc metrics
+    (``main.m:120,131`` timed, ``main.m:206-208,219-221`` reported as
+    mean/median/max CPU time).
+
+    Each tick is one jitted dispatch (projection + reference + MPC solve +
+    PID/RK6 plant substeps), so the measured time is conservative: it
+    includes the plant step the reference excludes (solve cost dominates).
+    On the TPU-tunnel backend each dispatch also pays the host round trip;
+    interpret absolute numbers accordingly (scripts/latency_bench.py
+    isolates the solve).
+
+    Stops as soon as the lap completes (host-side early exit -- the scanned
+    driver cannot).  Returns ``(SimOutputs, timing)`` where ``timing`` has
+    mean/median/p99/max tick seconds over the lap plus the tick count.
+    """
+    import time as _time
+
+    tick, carry0 = _build_tick(track, params, cfg, x_init, plan)
+    tick_j = jax.jit(tick)
+    tick_j(carry0, None)  # compile (discarded; carry0 is not advanced)
+
+    carry = carry0
+    outs, times = [], []
+    for _ in range(cfg.n_ticks):
+        t0 = _time.perf_counter()
+        carry, out = tick_j(carry, None)
+        out = jax.block_until_ready(out)
+        times.append(_time.perf_counter() - t0)
+        outs.append(jax.device_get(out))
+        if bool(jax.device_get(carry[4])):   # lap done
+            break
+
+    import numpy as _np
+    tr = {k: jnp.asarray(_np.stack([o[k] for o in outs]))
+          for k in outs[0]}
+    summary = _summarise(tr, cfg, params, track.px.dtype)
+    t = _np.asarray(times)
+    timing = {
+        "n_ticks_timed": int(t.size),
+        "tick_time_mean_s": float(t.mean()),
+        "tick_time_median_s": float(_np.median(t)),
+        "tick_time_p99_s": float(_np.quantile(t, 0.99)),
+        "tick_time_max_s": float(t.max()),
+        "budget_s": float(cfg.mpc.dt),
+    }
+    return summary, timing
 
 
 def _summarise(tr, cfg: SimConfig, params: VehicleParams, dtype):

@@ -8,13 +8,25 @@ combination the reference driver supports (``main.m:25-27``):
     {fsg2019, fso2020, fss2019}
 
 plus the HS-collocation kinematic variant, and records lap time, track /
-tyre violations, slack activation and solver statistics to ``LAPS.json``
-and a markdown table on stdout.
+tyre violations, slack activation, solver statistics, and per-tick solve
+wall-time percentiles (``main.m:206-208,219-221``) to ``LAPS.json`` /
+``LAPS_TPU.json`` and a markdown table on stdout.
 
 Usage:
     JAX_PLATFORMS=cpu python scripts/lap_metrics.py            # f64 matrix
     JAX_PLATFORMS=cpu python scripts/lap_metrics.py f32        # f32 repeat
                                                                # (fsg2019)
+    python scripts/lap_metrics.py tpu                          # f32 matrix
+                                                               # ON THE CHIP
+                                                               # -> LAPS_TPU.json
+
+The CPU matrix uses the scanned simulator (one jit of the whole lap); the
+TPU matrix uses the host-stepped :func:`simulate_timed` driver -- one
+compiled tick dispatched per control period, which (a) keeps the tunnel
+compile small, (b) allows early exit at the finish line, and (c) yields the
+reference's per-solve timing metrics.  Tick times on the tunnel backend
+include the ~13 ms host round trip; scripts/latency_bench.py isolates the
+solve itself.
 """
 
 import json
@@ -24,11 +36,18 @@ import time
 sys.path.insert(0, ".")
 
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+ON_TPU = len(sys.argv) > 1 and sys.argv[1] == "tpu"
+if not ON_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 
@@ -36,17 +55,21 @@ N_TICKS = 1000     # the reference's cap (main.m:62); fso2020 (385 m) needs
                    # ~900 ticks under the slower kinematic controller
 
 
-def run_matrix(f32: bool = False):
+def run_matrix(f32: bool = False, timed: bool = False):
     import jax.numpy as jnp
     from fsae_mpc_tpu.config import MPCParams, MPC_F32, VehicleParams
     from fsae_mpc_tpu.ops import ipm
-    from fsae_mpc_tpu.sim.closed_loop import SimConfig, simulate
+    from fsae_mpc_tpu.sim.closed_loop import (SimConfig, simulate,
+                                              simulate_timed)
     from fsae_mpc_tpu.track import load_track
 
-    jax.config.update("jax_enable_x64", not f32)
+    if not ON_TPU:
+        jax.config.update("jax_enable_x64", not f32)
     dtype = jnp.float32 if f32 else jnp.float64
 
-    tracks = ["fsg2019", "fso2020", "fss2019"] if not f32 else ["fsg2019"]
+    tracks = ["fsg2019", "fso2020", "fss2019"]
+    if f32 and not ON_TPU:
+        tracks = ["fsg2019"]
     only = os.environ.get("LAP_TRACKS")
     if only:
         tracks = [t for t in tracks if t in only.split(",")]
@@ -61,6 +84,9 @@ def run_matrix(f32: bool = False):
         ("ms-nmpc", "kinematic", {"stepper": "euler"}),
         ("ms-nmpc", "kinematic", {"stepper": "rk4"}),
     ]
+    only_modes = os.environ.get("LAP_MODES")
+    if only_modes:
+        configs = [c for c in configs if c[0] in only_modes.split(",")]
 
     if f32:
         mpc = MPC_F32
@@ -79,8 +105,12 @@ def run_matrix(f32: bool = False):
             cfg = SimConfig(model=model, mode=mode, n_ticks=N_TICKS,
                             mpc=mpc, ipm=opts, **extra)
             t0 = time.time()
-            out = jax.jit(lambda t, p: simulate(t, p, cfg))(track, params)
-            jax.block_until_ready(out.lap_time)
+            timing = None
+            if timed:
+                out, timing = simulate_timed(track, params, cfg)
+            else:
+                out = jax.jit(lambda t, p: simulate(t, p, cfg))(track, params)
+                jax.block_until_ready(out.lap_time)
             wall = time.time() - t0
             row = dict(
                 track=track_name, mode=tag, model=model,
@@ -95,22 +125,35 @@ def run_matrix(f32: bool = False):
                 abnormal_exit_frac=round(float(out.abnormal_exit_frac), 4),
                 slack_n_frac=round(float(out.slack_n_frac), 4),
                 slack_tyre_frac=round(float(out.slack_tyre_frac), 4),
+                mean_iters=round(float(out.mean_iters), 2),
+                max_iters=int(out.max_iters),
                 wall_s=round(wall, 1),
             )
+            if timing is not None:
+                row.update(
+                    tick_time_mean_s=round(timing["tick_time_mean_s"], 5),
+                    tick_time_median_s=round(timing["tick_time_median_s"], 5),
+                    tick_time_p99_s=round(timing["tick_time_p99_s"], 5),
+                    tick_time_max_s=round(timing["tick_time_max_s"], 5),
+                )
             rows.append(row)
+            extra_t = ""
+            if timing is not None:
+                extra_t = (f" tick p99={timing['tick_time_p99_s']*1e3:.1f}ms"
+                           f"/{cfg.mpc.dt*1e3:.0f}ms")
             print(f"{track_name:8s} {tag:18s} {model:9s} "
                   f"lap_done={row['lap_done']} t={row['lap_time']:7.2f}s "
                   f"tv={row['track_violation']:.4f} "
                   f"fe={row['tyre_violation']:.4f} "
                   f"slack_n={row['slack_n_frac']:.2%} "
-                  f"wall={wall:.0f}s", flush=True)
+                  f"wall={wall:.0f}s" + extra_t, flush=True)
     return rows
 
 
 def main():
-    f32 = len(sys.argv) > 1 and sys.argv[1] == "f32"
-    rows = run_matrix(f32)
-    path = "LAPS.json"
+    f32 = ON_TPU or (len(sys.argv) > 1 and sys.argv[1] == "f32")
+    rows = run_matrix(f32, timed=ON_TPU)
+    path = "LAPS_TPU.json" if ON_TPU else "LAPS.json"
     existing = []
     if os.path.exists(path):
         with open(path) as fh:

@@ -13,12 +13,16 @@ and result caching.  Cross-check: a (4096, 4096) f32 matmul measures
 ~0.78 ms = its HBM/MXU roofline.
 """
 
+import json
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,13 +84,21 @@ def main():
     x_lin = x_lin.at[:, :, 0].set(8.0 * t)
     u_lin = jnp.zeros((batch, N, 2), dtype)
 
+    rows = []
+
     def report(name, secs, gbytes=None, gflop=None, per_iter=""):
         line = f"{name:34s} {secs*1e3:8.2f} ms"
         bounds = []
+        row = {"component": name, "ms": round(secs * 1e3, 3)}
         if gbytes is not None:
+            row["hbm_sol_ms"] = round(gbytes / HBM_GBPS * 1e3, 3)
             bounds.append(f"HBM-SoL {gbytes/HBM_GBPS*1e3:6.2f} ms")
         if gflop is not None:
+            row["mxu_sol_ms"] = round(gflop * 1e9 / MXU_F32_HIGHEST * 1e3, 3)
             bounds.append(f"MXU-SoL {gflop*1e9/MXU_F32_HIGHEST*1e3:6.2f} ms")
+        if per_iter:
+            row["note"] = per_iter
+        rows.append(row)
         if bounds:
             line += "   [" + ", ".join(bounds) + "]"
         print(line + ("  " + per_iter if per_iter else ""), flush=True)
@@ -206,6 +218,17 @@ def main():
                          short=2, reps=8)
     report("full tick", t_t,
            per_iter=f"-> {batch/t_t:,.0f} solves/s")
+
+    out = {"backend": jax.default_backend(), "batch": batch,
+           "regime": "dynamic LTV tick, N=40, F32_OPTS "
+                     f"({opts.max_iters} iters), f32, slope-timed",
+           "hbm_gbps_assumed": HBM_GBPS,
+           "mxu_f32_highest_flops_assumed": MXU_F32_HIGHEST,
+           "solves_per_sec_cold_lin": round(batch / t_t, 1),
+           "components": rows}
+    with open("PROFILE_r03.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote PROFILE_r03.json")
 
 
 if __name__ == "__main__":
