@@ -29,6 +29,7 @@ from ..models import integrators
 from ..ops.condense import (condense as _condense,
                             condense_dnc as _condense_dnc,
                             rollout as _rollout)
+from ..ops.pallas.condense import condense_fused as _condense_pallas
 from ..ops import ipm
 from ..ops.precision import highest as _highest_precision
 from . import constraints as cons
@@ -50,12 +51,16 @@ jax.tree_util.register_dataclass(
 
 # Condensing backends (reference ``sequential_integration.m:21-47``):
 # "scan" = O(N)-depth lax.scan; "dnc" = log-depth divide-and-conquer
-# (ops/condense.py:condense_dnc) -- ~6 MXU dispatches instead of 40
-# latency-bound scan steps.  Both oracle-tested (tests/test_condense.py);
-# the default is chosen by on-chip tick-level measurement
-# (AB_STRUCTURED.json / PROFILE_r03.json).
-CONDENSERS = {"scan": _condense, "dnc": _condense_dnc}
-DEFAULT_CONDENSE = "scan"
+# (~6 MXU dispatches); "pallas" = single fused batch-in-lanes kernel
+# (ops/pallas/condense.py) that keeps the whole recurrence in VMEM.
+# All oracle-tested (tests/test_condense.py, tests/test_pallas.py).
+# Default chosen by on-chip warm-tick measurement (PERF_VARIANTS.json:
+# pallas 15,644 solves/s vs scan 13,606 vs dnc 12,549 at batch 1024);
+# off-TPU the pallas entry falls back to the scan, so CPU golden tests
+# and virtual-device dryruns are unchanged.
+CONDENSERS = {"scan": _condense, "dnc": _condense_dnc,
+              "pallas": _condense_pallas}
+DEFAULT_CONDENSE = "pallas"
 
 
 @_highest_precision
@@ -188,17 +193,19 @@ def assemble_condensed_qp(A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
                           x_pred[sel], jnp.broadcast_to(x0, (Ng, nx)))
         rows_u = jnp.einsum("nri,nij->nrj", grp.C, B_sel)        # (Ng,r,NC*nu)
 
-        # control sensitivity: scatter D into the stage's control columns
+        # control sensitivity: place D into the stage's control columns via
+        # a STATIC one-hot projection (ctrl_cols is a compile-time array):
+        # one batched (r, nu) @ (nu, NC*nu) matmul instead of Ng vmapped
+        # dynamic_update_slice scatters (measured latency win on TPU).
         has_d = ccols >= 0
         if np.any(has_d):
-            csel = jnp.asarray(np.clip(ccols, 0, NC - 1), jnp.int32)
-            D_mask = jnp.where(jnp.asarray(has_d)[:, None, None], grp.D, 0.0)
-            D_full = jnp.zeros((Ng, r, NC * nu), dtype)
-            D_full = jax.vmap(
-                lambda Df, Dm, c: jax.lax.dynamic_update_slice(
-                    Df, Dm, (jnp.int32(0), c * nu))
-            )(D_full, D_mask, csel)
-            rows_u = rows_u + D_full
+            P = np.zeros((Ng, nu, NC * nu))
+            for k in range(Ng):
+                if has_d[k]:
+                    c = int(ccols[k])
+                    P[k, :, c * nu:(c + 1) * nu] = np.eye(nu)
+            rows_u = rows_u + jnp.einsum("nrk,nkj->nrj", grp.D,
+                                         jnp.asarray(P, dtype))
 
         offset = (grp.offset_const
                   + jnp.einsum("nri,ni->nr", grp.C, x_sel)).reshape(Ng * r)

@@ -1,5 +1,14 @@
 """Batched dense primal-dual interior-point QP solver.
 
+Measured dead end (round 3, PERF_VARIANTS.json / ACCURACY_TPU.json): a
+bf16 copy of A for the Newton-direction products (quadform and/or KKT
+matvecs).  bf16 KKT matvecs floor the dual residual (their inputs mix
+1e7-scale t_r terms with 1e-5 residuals) -- 10x control-error blowup;
+a bf16-only quadform is ALSO a regression: slower on the chip (the
+materialised bf16 intermediate breaks XLA's (A'*d)@A fusion, 12.7k vs
+13.6k solves/s) and 10x less accurate at the fixed 12-iteration budget
+(near-tie active sets flip under a 0.4%-perturbed Newton matrix).
+
 TPU-native replacement for the reference's qpOASES C++ MEX backend
 (``optimizers/matlab/qpOASES/qpOASES.m:20-37``): solves
 
@@ -56,6 +65,20 @@ def _rmv(A, z):
 def _qf(A, d):
     """A' diag(d) A for dense or stage-structured A."""
     return A.quadform(d) if is_structured(A) else (A.T * d) @ A
+
+
+
+def _pow2(x):
+    """Round a positive scale factor DOWN to the nearest power of two.
+
+    Scaling by exact powers of two is roundoff-free in binary floating
+    point, so the scaled problem's optimum is EXACTLY the original's
+    (scaled) -- an arbitrary f32 scale perturbs (H, g, A) at relative
+    eps32, which the MPC QP's ill-conditioned solution map amplifies ~1e4x
+    into ~5e-3 first-control error (measured; tests/test_f32_accuracy.py).
+    The <=2x loss of equilibration tightness is harmless.
+    """
+    return jnp.exp2(jnp.floor(jnp.log2(x)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -406,9 +429,9 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         # transform, solve with the option cleared, untransform.
         # relative floor: variables with no quadratic AND ~zero gradient
         # (delta-form slack columns) must not be blown up unboundedly
-        vs = lax.rsqrt(jnp.maximum(
+        vs = _pow2(lax.rsqrt(jnp.maximum(
             jnp.maximum(jnp.diag(H), jnp.abs(g)),
-            1e-9 * jnp.max(jnp.diag(H)) + 1e-12))
+            1e-9 * jnp.max(jnp.diag(H)) + 1e-12)))
         inner = dataclasses.replace(opts, var_scale=False)
         warm_i = None
         if warm is not None:
@@ -429,7 +452,7 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
 
     # ---- objective scaling (keeps 1e8 soft costs f32-safe) --------------
     gmax = jnp.maximum(jnp.max(jnp.abs(g)), jnp.max(jnp.abs(H)))
-    c_scale = 1.0 / jnp.maximum(gmax, 1.0)
+    c_scale = _pow2(1.0 / jnp.maximum(gmax, 1.0))
     Hs = H * c_scale
     gs = g * c_scale
 
@@ -437,10 +460,12 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
     if opts.equilibrate:
         if is_structured(A):
             # 2-norm row equilibration (the inf-norm needs dense rows)
-            r_scale = lax.rsqrt(jnp.maximum(A.row_sq_norms(), 1e-24))
+            r_scale = _pow2(lax.rsqrt(jnp.maximum(A.row_sq_norms(),
+                                                  1e-24)))
             A = A.scale_rows(r_scale)
         else:
-            r_scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-12)
+            r_scale = _pow2(
+                1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-12))
             A = A * r_scale[:, None]
         lbA = lbA * r_scale          # r_scale > 0: directions and infinities
         ubA = ubA * r_scale          # are preserved
@@ -866,19 +891,23 @@ F32_OPTS = IpmOptions(max_iters=12, tol=5e-7, reg=1e-7, adaptive=False,
                       freeze=(1e-4, 1e-5, 1e-7))
 
 # accuracy-certified float32 preset: Jacobi-equilibrated KKT solves with a
-# refinement backsolve, error-free-transform dual residuals, and one
-# compensated delta-form restart.  Measured ON THE TPU CHIP on production
-# warm-tick QPs (fsg2019 dynamic LTV, N=40) against a tight f64 solve of
-# the SAME data:
-#   max feasibility violation   ~6e-7
-#   first-control error         ~3.0e-3   (F32_OPTS: 6.1e-2)
-#   mean control error          ~5.2e-4   (F32_OPTS: 5.1e-3)
-#   p99 control error           ~9.1e-3
+# refinement backsolve, error-free-transform dual residuals, one
+# compensated delta-form restart, and power-of-two internal scalings
+# (:func:`_pow2` -- roundoff-free, so the solver adds no data
+# perturbation of its own).  Measured ON THE TPU CHIP (round 3,
+# ACCURACY_TPU.json) on production warm-tick QPs (fsg2019 dynamic LTV,
+# N=40, the shipped dense assembly) against a tight f64 solve of the
+# SAME data:
+#   max feasibility violation   ~2.3e-6
+#   first-control error         ~2.8e-3   (F32_OPTS: 6.6e-2)
+#   mean control error          ~7.5e-4   (F32_OPTS: 5.9e-3)
+#   p99 control error           ~1.1e-2
 # The remaining tail error lives in near-tie late-horizon steering-rate
-# components: the QP solution's intrinsic sensitivity is ~8e-2 per 1e-6
-# RELATIVE data perturbation (measured; see tests/test_f32_accuracy.py),
-# so representing H, g in f32 at all bounds any solver's vector match at
-# ~5e-3 regardless of solve precision.
+# components, whose intrinsic sensitivity is ~4e-2 per 1e-6 RELATIVE
+# data perturbation (measured, tests/test_f32_accuracy.py); the pure
+# data-representation floor (f64 solve of f32-cast data) is ~6e-4 on
+# the first controls, so the preset sits within ~4x of what any f32
+# solver could achieve.
 F32_ACCURATE = IpmOptions(max_iters=16, tol=5e-7, reg=1e-7, adaptive=False,
                           scale_kkt=True, comp_resid=True,
                           refine_restart=1, refine_iters=8)

@@ -130,14 +130,20 @@ def test_f32_accurate_controls(production_qps):
 
     du = np.abs(x[:, :N2] - x64[:, :N2])
     assert _viol(qp, x) < 1e-5, "f32 feasibility"
-    # the control actually applied each tick (well-conditioned head).
-    # Bound = the f32 data-representation floor: casting (H, g) to f32
-    # perturbs the exact solution by ~eps32 * sum|H_ij x_j| / sigma_min
-    # ~ 5e-3 worst-case (see test_intrinsic_sensitivity), so any single
-    # instance set can sit right at that level.
-    assert du[:, :2].max() < 8e-3, f"first-control error {du[:, :2].max()}"
-    assert du.mean() < 1.5e-3, f"mean control error {du.mean()}"
-    assert np.quantile(du, 0.99) < 2.5e-2, f"p99 {np.quantile(du, 0.99)}"
+    # First-control bound history: round 2 shipped 8e-3 with an
+    # "intrinsic data-representation floor ~5e-3" rationale.  Round-3
+    # measurement showed that rationale was wrong: the true representation
+    # floor (f64 solve of f32-cast data, test_f32_representation_floor)
+    # is ~6e-4 for the first controls; the rest was the solver's OWN
+    # internal scale-rounding (arbitrary f32 c_scale/r_scale factors
+    # perturb the data again, amplified ~1e4x by the near-tie solution
+    # map).  Power-of-two scaling (ops/ipm.py:_pow2) made those scalings
+    # roundoff-free and recovered the original 5e-3 bar (measured
+    # 4.5e-3; the worst component is a first steering-rate that sits ON
+    # its +-0.4 bound in f64 and lands ~4e-3 inside it in f32).
+    assert du[:, :2].max() < 5e-3, f"first-control error {du[:, :2].max()}"
+    assert du.mean() < 1e-3, f"mean control error {du.mean()}"
+    assert np.quantile(du, 0.99) < 2e-2, f"p99 {np.quantile(du, 0.99)}"
     # strict-convexity bound: gap certifies the control distance
     gap = (_fval(qp, x) - _fval(qp, x64)).max()
     assert gap < 10.0, f"objective gap {gap}"
@@ -157,14 +163,41 @@ def test_f32_accurate_beats_f32_opts(production_qps):
     assert res["acc"][:, :2].max() <= res["fast"][:, :2].max()
 
 
+def test_f32_representation_floor(production_qps):
+    """Measure the TRUE f32 data-representation floor.
+
+    Solving the f32-CAST data exactly (in f64) bounds what a perfect f32
+    solver could achieve.  Measured: first-control ~6e-4, mean ~3e-5 --
+    an order of magnitude below the 5e-3 assertion bar, so the bar is
+    dominated by f32 *solve* noise, not data representation.  (This
+    replaces round 2's incorrect "representation bounds any solver at
+    ~5e-3" claim.)  If a solver change drives the measured errors toward
+    this floor, tighten the bars in test_f32_accurate_controls.
+    """
+    qp, x64 = production_qps
+    qpc = [np.asarray(np.asarray(a, np.float32), np.float64) for a in qp]
+    o64 = ipm.IpmOptions(max_iters=60, tol=1e-12)
+    ref = jax.jit(jax.vmap(lambda *a: ipm.solve_qp(*a, o64)))(
+        *[jnp.asarray(a) for a in qpc])
+    du = np.abs(np.asarray(ref.x)[:, :80] - x64[:, :80])
+    assert du[:, :2].max() < 1.5e-3, (
+        f"first-control representation floor grew: {du[:, :2].max():.2e}")
+    assert du.mean() < 2e-4, f"mean representation floor {du.mean():.2e}"
+
+
 def test_intrinsic_sensitivity(production_qps):
     """Record the ill-posedness of the vector-match criterion.
 
-    A 1e-6 relative perturbation of (H, g) -- the scale of f32
-    representation noise -- moves the exact solution's tail components by
-    >1e-3.  If this ever stops holding (e.g. after a reformulation that
-    fixes the conditioning), the assertion bars above should be revisited
-    and tightened.
+    A 1e-6 relative perturbation of (H, g) -- ~17x the f32 representation
+    noise -- moves the exact solution's tail components by >1e-3, and the
+    FIRST-CONTROL components (the ones actually applied) by >5e-3
+    (measured 1e-2..4e-2 over seeds: the near-tie bang-bang arcs amplify
+    relative data noise ~1e4x even at the head of the horizon).  This is
+    why eps32-scale noise injected anywhere in a solver's data path
+    (e.g. non-power-of-two internal scalings, see ops/ipm.py:_pow2) costs
+    multiple 1e-3 of first-control accuracy.  If this ever stops holding
+    (e.g. after a reformulation that fixes the conditioning), the
+    assertion bars above should be revisited and tightened.
     """
     qp, x64 = production_qps
     H, g, A, lb, ub, lbA, ubA = qp
@@ -180,3 +213,6 @@ def test_intrinsic_sensitivity(production_qps):
     assert du.max() > 1e-3, (
         "QP solution sensitivity collapsed -- tighten the f32 bars in "
         f"test_f32_accurate_controls (measured {du.max():.2e})")
+    assert du[:, :2].max() > 5e-3, (
+        "first-control sensitivity collapsed -- tighten the first-control "
+        f"bar in test_f32_accurate_controls (measured {du[:, :2].max():.2e})")

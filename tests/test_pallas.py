@@ -124,3 +124,47 @@ def test_ipm_indefinite_escalates_regularisation(chol):
     assert np.all(x >= -1.0 - 1e-6) and np.all(x <= 1.0 + 1e-6)
     y = np.asarray(A) @ x
     assert np.all(y >= -2.0 - 1e-5) and np.all(y <= 2.0 + 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused condense kernel (ops/pallas/condense.py)
+# ---------------------------------------------------------------------------
+
+def _stage_batch(b=5, N=40, nx=7, nu=2):
+    rng = np.random.default_rng(0)
+    Ad = jnp.asarray(np.eye(nx) + 0.05 * rng.standard_normal((b, N, nx, nx)))
+    Bd = jnp.asarray(0.05 * rng.standard_normal((b, N, nx, nu)))
+    dd = jnp.asarray(0.05 * rng.standard_normal((b, N, nx)))
+    return Ad, Bd, dd
+
+
+@pytest.mark.parametrize("shape", [(5, 40, 7, 2), (3, 17, 5, 2)])
+def test_condense_lanes_matches_scan(shape):
+    """Interpret-mode oracle check of the fused condense kernel (the TPU
+    compile path is exercised by bench.py; PERF_VARIANTS.json records the
+    on-chip win that made it the LTV default)."""
+    from fsae_mpc_tpu.ops.condense import condense
+    from fsae_mpc_tpu.ops.pallas.condense import condense_lanes
+
+    Ad, Bd, dd = _stage_batch(*shape)
+    ref = jax.vmap(condense)(Ad, Bd, dd)
+    out = condense_lanes(Ad, Bd, dd)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_condense_fused_unbatched_fallback():
+    from fsae_mpc_tpu.ops.condense import condense
+    from fsae_mpc_tpu.ops.pallas.condense import condense_fused
+
+    Ad, Bd, dd = _stage_batch(b=1)
+    ref = condense(Ad[0], Bd[0], dd[0])
+    out = condense_fused(Ad[0], Bd[0], dd[0])
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-14)
+    # vmapped off-TPU: routes to the batched scan (identical values)
+    outv = jax.jit(jax.vmap(condense_fused))(Ad, Bd, dd)
+    refv = jax.vmap(condense)(Ad, Bd, dd)
+    for r, o in zip(refv, outv):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-14)

@@ -40,7 +40,10 @@ def test_kinematic_planner_circle(circ):
 
 
 def test_dynamic_planner_circle(circ):
-    res = minimum_time_planner_dynamic(circ, P, n_nodes=64, iters=30)
+    # iters: 40 (was 30) -- power-of-two IPM equilibration (ops/ipm.py:
+    # _pow2) shifted this instance's SQP path; defect at 30 iters sat 3%
+    # over the bound (1.03e-4), at 40 it is 8.1e-5 and still decreasing
+    res = minimum_time_planner_dynamic(circ, P, n_nodes=64, iters=40)
     assert float(res.defect_norm) < 1e-4
     y = np.asarray(res.y_opt)
     assert np.all(np.isfinite(y))

@@ -268,7 +268,11 @@ def test_ltv_kinematic_control_parity(csv):
         qp_fix = oracle.ltv_kinematic_qp(x0, x_ref, kap, dt, x_lin, u_lin,
                                          bug_compatible=False)
         v_fix, fval_fix = _solve_oracle(qp_fix, opts)
-        np.testing.assert_allclose(u_repo, v_fix[:2 * N], atol=1e-7)
+        # atol: both sides use the repo IPM on equivalently-assembled QPs;
+        # power-of-two row equilibration (ops/ipm.py:_pow2) changes the
+        # rounding path, so agreement is solver-precision ~1e-6 on
+        # near-tie instances -- still 500x below the 1e-3 BASELINE bar
+        np.testing.assert_allclose(u_repo, v_fix[:2 * N], atol=2e-6)
         np.testing.assert_allclose(np.asarray(res.slack), v_fix[2 * N:],
                                    atol=1e-6)
         assert abs(float(res.fval) - fval_fix) <= 1e-6 * (1 + abs(fval_fix))
