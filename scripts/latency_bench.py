@@ -13,6 +13,8 @@ sys.path.insert(0, ".")
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -65,15 +67,24 @@ def main():
         jax.block_until_ready(carry[0])
         samples.append(time.perf_counter() - t0)
     s = np.asarray(samples)
-    print(json.dumps({
+    payload = {
         "metric": "solve_latency",
+        "backend": jax.default_backend(),
+        "regime": "single-instance warm dynamic-LTV tick (N=40); on the "
+                  "axon tunnel backend each dispatch includes the host "
+                  "round trip, so device-only latency is lower",
+        "samples": int(s.size),
         "mean_ms": round(float(s.mean() * 1e3), 3),
         "median_ms": round(float(np.median(s) * 1e3), 3),
         "p99_ms": round(float(np.percentile(s, 99) * 1e3), 3),
         "max_ms": round(float(s.max() * 1e3), 3),
         "budget_ms": 50.0,
         "within_budget": bool(np.percentile(s, 99) <= 0.05),
-    }))
+    }
+    print(json.dumps(payload))
+    with open("LATENCY.json", "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print("wrote LATENCY.json")
 
 
 if __name__ == "__main__":
