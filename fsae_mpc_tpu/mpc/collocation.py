@@ -352,7 +352,7 @@ def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
                              mpc: MPCParams, x_init, u_init,
                              opts: ipm.IpmOptions = ipm.IpmOptions(),
                              sqp_iters: int = 3,
-                             trust_u=(4.0, 0.3), warm=None) -> SqpResult:
+                             trust_u=(2.0, 0.15), warm=None) -> SqpResult:
     """Trapezoidal C-NMPC, dynamic model
     (``trapezoidal_nmpc_dynamic_curvilinear.m``): exact friction-ellipse
     rows at every collocation point (incl. point 0 through its control),

@@ -160,6 +160,104 @@ def assemble_condensed_qp_structured(A_bar, B_bar, d_bar, x0, x_ref, q_diag,
 
 
 @_highest_precision
+def assemble_gen_dynamic(A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
+                         r_soft: Sequence[float], track, params, mpc,
+                         x_lin, u_lin, u_lb, u_ub):
+    """Generator-factored assembly of the dynamic-LTV QP rows.
+
+    The 800 dense rows (20 per stage) are static combinations of SEVEN
+    per-stage generators in variable space (ops/structured.py:GenRows):
+
+      0: e_v  @ B_bar[s]      (v >= 0 hard box)
+      1: e_d  @ B_bar[s]      (|delta| <= delta_max hard box)
+      2: e_n  @ B_bar[s]      (|n| <= n_max, soft, two emitted sides)
+      3: da_r @ B_bar[s]      (rear slip gradient, soft, two sides)
+      4: da_f @ B_bar[s]      (front slip gradient, soft, two sides)
+      5: gfcr @ B_bar[s]      (rear-force gradient: all 12 polygon rows
+                               are -dal_j * gfcr + dac_j * e_u0,
+                               ``dynamic_tyre_linearise_constraints.m``)
+      6: e_{u0,s}             (the stage's own Fx/m control column)
+
+    Returns (H, g, A: GenRows, lb, ub, lbA, ubA, const) with rows in
+    STAGE-MAJOR order ([box2, n_lo, n_up, slip_lo2, slip_up2, poly12]
+    per stage); lbA/ubA match that order.
+    """
+    from ..ops.structured import GenRows
+
+    N, nx, NCnu = B_bar.shape
+    nu = u_lb.shape[1]
+    n_soft = len(r_soft)
+    dtype = B_bar.dtype
+    H, g, lb_v, ub_v, const, x_pred = _qp_cost(
+        A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, r_soft, u_lb, u_ub)
+    n = NCnu + n_soft
+
+    slip = cons.dynamic_slip_group(x_lin, u_lin, mpc, params, 1, 2)
+    poly = cons.friction_polygon_group(x_lin, u_lin, mpc, params, 3)
+    K = mpc.n_tyre_polygon
+
+    # state-space generator rows (N, 6, nx)
+    e = np.eye(nx)
+    gfcr = jax.vmap(jax.jacfwd(
+        lambda x: cm.rear_lateral_force(x, params) / params.m))(x_lin)
+    Cg = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(e[[3, 6, 1]], dtype), (N, 3, nx)),
+        slip.C,
+        gfcr[:, None, :],
+    ], axis=1)                                           # (N, 6, nx)
+    Ag_state = jnp.einsum("ngi,nij->ngj", Cg, B_bar)     # (N, 6, NCnu)
+    # generator 6: the stage's own first-control column (static one-hots)
+    u0 = np.zeros((N, 1, NCnu))
+    u0[np.arange(N), 0, np.arange(N) * nu] = 1.0
+    Ag = jnp.concatenate([Ag_state, jnp.asarray(u0, dtype)], axis=1)
+    Ag = jnp.concatenate([Ag, jnp.zeros((N, 7, n_soft), dtype)], axis=-1)
+
+    # static row coefficients (R = 8 + K rows per stage)
+    R = 8 + K
+    theta = np.linspace(0.0, 2.0 * np.pi, K + 1)
+    dac = float(params.ac_max) * np.diff(np.sin(theta))
+    dal = float(params.al_max) * np.diff(np.cos(theta))
+    W = np.zeros((R, 7))
+    W[0, 0] = 1.0                 # v box
+    W[1, 1] = 1.0                 # delta box
+    W[2, 2] = W[3, 2] = 1.0       # n lower / upper
+    W[4, 3] = W[6, 3] = 1.0       # rear slip lower / upper
+    W[5, 4] = W[7, 4] = 1.0       # front slip lower / upper
+    W[8:, 5] = -dal               # polygon: -dal_j * gfcr
+    W[8:, 6] = dac                # polygon: +dac_j * u0
+    Ws = np.zeros((R, n_soft))
+    Ws[2, 0], Ws[3, 0] = 1.0, -1.0
+    Ws[4, 1], Ws[6, 1] = 1.0, -1.0
+    Ws[5, 2], Ws[7, 2] = 1.0, -1.0
+    Ws[8:, 3] = -1.0
+    A = GenRows(Ag=Ag,
+                W=jnp.broadcast_to(jnp.asarray(W, dtype), (N, R, 7)),
+                Ws=jnp.broadcast_to(jnp.asarray(Ws, dtype), (N, R, n_soft)))
+
+    # per-row offsets (offset_const + C @ x_pred) and bounds, stage-major
+    inf = np.inf
+    off_box = jnp.einsum("ri,ni->nr", jnp.asarray(e[[3, 6]], dtype), x_pred)
+    off_n = x_pred[:, 1:2]
+    off_slip = slip.offset_const + jnp.einsum("nri,ni->nr", slip.C, x_pred)
+    off_poly = poly.offset_const + jnp.einsum("nri,ni->nr", poly.C, x_pred)
+    offset = jnp.concatenate([
+        off_box, off_n, off_n, off_slip, off_slip, off_poly], axis=1)
+
+    sm = float(mpc.slip_max)
+    lo = np.concatenate([[0.0, -float(mpc.delta_max)],
+                         [-float(mpc.n_max), -inf],
+                         [-sm, -sm], [-inf, -inf],
+                         np.full(K, -inf)])
+    hi = np.concatenate([[inf, float(mpc.delta_max)],
+                         [inf, float(mpc.n_max)],
+                         [inf, inf], [sm, sm],
+                         np.zeros(K)])
+    lbA = (jnp.asarray(lo, dtype)[None, :] - offset).reshape(-1)
+    ubA = (jnp.asarray(hi, dtype)[None, :] - offset).reshape(-1)
+    return H, g, A, lb_v, ub_v, lbA, ubA, const
+
+
+@_highest_precision
 def assemble_condensed_qp(A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
                           r_soft: Sequence[float], groups, u_lb, u_ub):
     """Assemble the condensed QP over v = [u_0..u_{NC-1}, sigma_1..sigma_k].
@@ -181,35 +279,63 @@ def assemble_condensed_qp(A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
 
     A_rows, lbA_rows, ubA_rows = [], [], []
 
+    # Stage-aligned fast path (every LTV group: state_rows == ctrl_cols ==
+    # arange(N)): ONE fused (N, R_tot, nx) @ (N, nx, NC*nu) product and one
+    # block-diagonal D placement for ALL groups together, then per-group
+    # slicing -- bit-identical rows (each output row's contraction is
+    # independent), far fewer small batched-matmul dispatches on TPU.
+    aligned = NC == N and all(
+        grp.C.shape[0] == N
+        and np.array_equal(grp.state_rows, np.arange(N))
+        and np.array_equal(grp.ctrl_cols, np.arange(N))
+        for grp in groups)
+    if aligned:
+        C_all = jnp.concatenate([g.C for g in groups], axis=1)   # (N,R,nx)
+        D_all = jnp.concatenate([g.D for g in groups], axis=1)   # (N,R,nu)
+        P = np.zeros((N, nu, NC * nu))
+        for k in range(N):
+            P[k, :, k * nu:(k + 1) * nu] = np.eye(nu)
+        rows_all = (jnp.einsum("nri,nij->nrj", C_all, B_bar)
+                    + jnp.einsum("nrk,nkj->nrj", D_all,
+                                 jnp.asarray(P, dtype)))
+        off_all = (jnp.concatenate([g.offset_const for g in groups], axis=1)
+                   + jnp.einsum("nri,ni->nr", C_all, x_pred))
+        r_off = 0
+
     for grp in groups:
         Ng, r, _ = grp.C.shape
-        srows = grp.state_rows               # static (Ng,)
-        ccols = grp.ctrl_cols                # static (Ng,)
+        if aligned:
+            rows_u = rows_all[:, r_off:r_off + r].reshape(Ng * r, NC * nu)
+            offset = off_all[:, r_off:r_off + r].reshape(Ng * r)
+            r_off += r
+        else:
+            srows = grp.state_rows               # static (Ng,)
+            ccols = grp.ctrl_cols                # static (Ng,)
 
-        # state sensitivity: select B_bar rows (fixed-x0 rows contribute 0)
-        sel = np.clip(srows, 0, N - 1)
-        B_sel = jnp.where((srows >= 0)[:, None, None], B_bar[sel], 0.0)
-        x_sel = jnp.where((srows >= 0)[:, None],
-                          x_pred[sel], jnp.broadcast_to(x0, (Ng, nx)))
-        rows_u = jnp.einsum("nri,nij->nrj", grp.C, B_sel)        # (Ng,r,NC*nu)
+            # state sensitivity: select B_bar rows (fixed-x0 rows -> 0)
+            sel = np.clip(srows, 0, N - 1)
+            B_sel = jnp.where((srows >= 0)[:, None, None], B_bar[sel], 0.0)
+            x_sel = jnp.where((srows >= 0)[:, None],
+                              x_pred[sel], jnp.broadcast_to(x0, (Ng, nx)))
+            rows_u = jnp.einsum("nri,nij->nrj", grp.C, B_sel)   # (Ng,r,NCnu)
 
-        # control sensitivity: place D into the stage's control columns via
-        # a STATIC one-hot projection (ctrl_cols is a compile-time array):
-        # one batched (r, nu) @ (nu, NC*nu) matmul instead of Ng vmapped
-        # dynamic_update_slice scatters (measured latency win on TPU).
-        has_d = ccols >= 0
-        if np.any(has_d):
-            P = np.zeros((Ng, nu, NC * nu))
-            for k in range(Ng):
-                if has_d[k]:
-                    c = int(ccols[k])
-                    P[k, :, c * nu:(c + 1) * nu] = np.eye(nu)
-            rows_u = rows_u + jnp.einsum("nrk,nkj->nrj", grp.D,
-                                         jnp.asarray(P, dtype))
+            # control sensitivity: place D into the stage's control columns
+            # via a STATIC one-hot projection (ctrl_cols is compile-time):
+            # one batched (r, nu) @ (nu, NC*nu) matmul instead of Ng vmapped
+            # dynamic_update_slice scatters (measured latency win on TPU).
+            has_d = ccols >= 0
+            if np.any(has_d):
+                P = np.zeros((Ng, nu, NC * nu))
+                for k in range(Ng):
+                    if has_d[k]:
+                        c = int(ccols[k])
+                        P[k, :, c * nu:(c + 1) * nu] = np.eye(nu)
+                rows_u = rows_u + jnp.einsum("nrk,nkj->nrj", grp.D,
+                                             jnp.asarray(P, dtype))
 
-        offset = (grp.offset_const
-                  + jnp.einsum("nri,ni->nr", grp.C, x_sel)).reshape(Ng * r)
-        rows_u = rows_u.reshape(Ng * r, NC * nu)
+            offset = (grp.offset_const
+                      + jnp.einsum("nri,ni->nr", grp.C, x_sel)).reshape(Ng * r)
+            rows_u = rows_u.reshape(Ng * r, NC * nu)
 
         lb_g = np.broadcast_to(grp.lb, (Ng, r)).reshape(-1)
         ub_g = np.broadcast_to(grp.ub, (Ng, r)).reshape(-1)
@@ -337,12 +463,17 @@ def build_qp_dynamic(x0, x_ref, track, params: VehicleParams,
     ]
     u_lb, u_ub = _control_bounds(mpc, N, dtype)
 
-    assemble = (assemble_condensed_qp_structured if structured
-                else assemble_condensed_qp)
-    qp = assemble(
-        A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
-        [mpc.w_track, mpc.w_slip, mpc.w_slip, mpc.w_tyre],
-        groups, u_lb, u_ub)
+    r_soft = [mpc.w_track, mpc.w_slip, mpc.w_slip, mpc.w_tyre]
+    if structured == "gen":
+        qp = assemble_gen_dynamic(
+            A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, r_soft,
+            track, params, mpc, x_lin, u_lin, u_lb, u_ub)
+    else:
+        assemble = (assemble_condensed_qp_structured if structured
+                    else assemble_condensed_qp)
+        qp = assemble(
+            A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, r_soft,
+            groups, u_lb, u_ub)
     return qp, (Ad, Bd, dd)
 
 

@@ -151,10 +151,18 @@ def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
         _f = lambda x, u: _cm.f_curv_dyn_only(x, u, track, params)
     _step = lambda x, u: _integ.rk2_step(_f, x, u, cfg.mpc.dt)
 
-    # Every mode carries the previous tick's duals/primal through the sim
-    # scan and warm-starts its (sub)problems from them -- the LTV analogue
-    # of qpOASES hot-start and the NMPC analogue of IPOPT's zl/zu/lambda
-    # warm start (``rk2_nmpc_kinematic_curvilinear.m:14-20``).
+    # Warm-start policy (measured, round 3):
+    #   * LTV carries the previous tick's duals/primal through the sim scan
+    #     (qpOASES hot-start analogue; required for the 12-iteration f32
+    #     budget).
+    #   * SQP modes warm-start only WITHIN the SQP loop (mpc/sqp.py:
+    #     run_sqp; ~1 IPM iteration saved per later subproblem,
+    #     NMPC_WARM.json).  The ACROSS-tick warm start of subproblem 1 is
+    #     deliberately NOT used: the previous solution is unshifted while
+    #     the new subproblem is linearised at the SHIFTED trajectory, and
+    #     that inconsistency measured neutral at best (0.9x) and
+    #     destabilised the marginal trapezoidal-dynamic config on fss2019
+    #     (divergence to ~5e7 slack; see round-3 commit history).
     if cfg.mode == "ltv":
         base_ltv = ltv.ltv_mpc_kinematic if kinematic else ltv.ltv_mpc_dynamic
         solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts,
@@ -166,7 +174,7 @@ def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
                   warm=None:
                   base(x0, x_ref, track, params, mpc, *sqp.shift_trajectory(
                       x_lin, u_lin, _step), opts, stepper=cfg.stepper,
-                      sqp_iters=cfg.sqp_iters, warm=warm))
+                      sqp_iters=cfg.sqp_iters))
     elif cfg.mode == "c-nmpc" and cfg.transcription == "hs":
         if not kinematic:
             raise ValueError("hs transcription is kinematic-only "
@@ -178,15 +186,15 @@ def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
                       x0, x_ref, track, params, mpc,
                       *collocation.hs_shift_trajectory(x_lin, u_lin,
                                                        _step_half),
-                      opts, sqp_iters=cfg.sqp_iters, warm=warm))
+                      opts, sqp_iters=cfg.sqp_iters))
     elif cfg.mode == "c-nmpc":
         base = (collocation.trapezoidal_nmpc_kinematic if kinematic
                 else collocation.trapezoidal_nmpc_dynamic)
         solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts,
                   warm=None:
                   base(x0, x_ref, track, params, mpc, *sqp.shift_trajectory(
-                      x_lin, u_lin, _step), opts, sqp_iters=cfg.sqp_iters,
-                      warm=warm))
+                      x_lin, u_lin, _step), opts,
+                      sqp_iters=cfg.sqp_iters))
     else:
         raise ValueError(f"unknown mode {cfg.mode}")
 
@@ -317,15 +325,23 @@ def simulate_timed(track, params: VehicleParams = VehicleParams(),
     """
     import time as _time
 
-    tick, carry0 = _build_tick(track, params, cfg, x_init, plan)
-    tick_j = jax.jit(tick)
-    tick_j(carry0, None)  # compile (discarded; carry0 is not advanced)
+    # track/params are jit ARGUMENTS (not baked constants), so one compile
+    # serves every track of the same shape -- the three FS tracks all load
+    # at n_segments=100, cutting the per-config tunnel compiles 3x in the
+    # on-chip lap matrix (scripts/lap_metrics.py tpu).
+    def step_fn(tr, pr, carry):
+        tick, _ = _build_tick(tr, pr, cfg, x_init, plan)
+        return tick(carry, None)
+
+    step_j = jax.jit(step_fn)
+    _, carry0 = _build_tick(track, params, cfg, x_init, plan)
+    step_j(track, params, carry0)  # compile (discarded; not advanced)
 
     carry = carry0
     outs, times = [], []
     for _ in range(cfg.n_ticks):
         t0 = _time.perf_counter()
-        carry, out = tick_j(carry, None)
+        carry, out = step_j(track, params, carry)
         out = jax.block_until_ready(out)
         times.append(_time.perf_counter() - t0)
         outs.append(jax.device_get(out))

@@ -55,7 +55,20 @@ N_TICKS = 1000     # the reference's cap (main.m:62); fso2020 (385 m) needs
                    # ~900 ticks under the slower kinematic controller
 
 
-def run_matrix(f32: bool = False, timed: bool = False):
+def _flush_row(row, path):
+    """Incrementally merge one finished row into the artifact so a
+    timeout/crash late in a long matrix run loses nothing."""
+    existing = []
+    if os.path.exists(path):
+        with open(path) as fh:
+            existing = json.load(fh)
+    key = lambda r: (r["track"], r["mode"], r["model"], r["dtype"])
+    existing = [r for r in existing if key(r) != key(row)]
+    with open(path, "w") as fh:
+        json.dump(existing + [row], fh, indent=1)
+
+
+def run_matrix(f32: bool = False, timed: bool = False, path=None):
     import jax.numpy as jnp
     from fsae_mpc_tpu.config import MPCParams, MPC_F32, VehicleParams
     from fsae_mpc_tpu.ops import ipm
@@ -137,6 +150,8 @@ def run_matrix(f32: bool = False, timed: bool = False):
                     tick_time_max_s=round(timing["tick_time_max_s"], 5),
                 )
             rows.append(row)
+            if path:
+                _flush_row(row, path)
             extra_t = ""
             if timing is not None:
                 extra_t = (f" tick p99={timing['tick_time_p99_s']*1e3:.1f}ms"
@@ -152,18 +167,9 @@ def run_matrix(f32: bool = False, timed: bool = False):
 
 def main():
     f32 = ON_TPU or (len(sys.argv) > 1 and sys.argv[1] == "f32")
-    rows = run_matrix(f32, timed=ON_TPU)
     path = "LAPS_TPU.json" if ON_TPU else "LAPS.json"
-    existing = []
-    if os.path.exists(path):
-        with open(path) as fh:
-            existing = json.load(fh)
-        key = lambda r: (r["track"], r["mode"], r["model"], r["dtype"])
-        new = {key(r) for r in rows}
-        existing = [r for r in existing if key(r) not in new]
-    with open(path, "w") as fh:
-        json.dump(existing + rows, fh, indent=1)
-    print(f"wrote {path} ({len(existing + rows)} rows)")
+    rows = run_matrix(f32, timed=ON_TPU, path=path)
+    print(f"wrote {path} ({len(rows)} rows this run)")
 
 
 if __name__ == "__main__":

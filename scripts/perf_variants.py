@@ -60,7 +60,8 @@ def build(batch, dtype, mpc, track, params):
     return args0, make_ref, step
 
 
-def measure(opts, batch=1024, n_rep=10, condense="scan"):
+def measure(opts, batch=1024, n_rep=10, condense="scan",
+            structured=False):
     dtype = jnp.float32
     mpc = MPC_F32
     track, _ = load_track("data/fsg2019.csv", dtype=dtype)
@@ -73,7 +74,7 @@ def measure(opts, batch=1024, n_rep=10, condense="scan"):
         res = jax.vmap(
             lambda a, b, c, d, w: ltv.ltv_mpc_dynamic(
                 a, b, track, params, mpc, c, d, opts, warm=w,
-                condense=condense)
+                condense=condense, structured=structured)
         )(x0, x_ref, x_lin, u_lin, warm)
         x0_next = jax.vmap(step)(x0, res.u_opt[:, 0])
         return (x0_next, res.x_opt, res.u_opt, res.qp), res.u_opt[:, 0]
@@ -82,7 +83,8 @@ def measure(opts, batch=1024, n_rep=10, condense="scan"):
         x_ref = jax.vmap(make_ref)(x0b)
         return jax.vmap(
             lambda a, b, c, d: ltv.ltv_mpc_dynamic(
-                a, b, track, params, mpc, c, d, opts, condense=condense)
+                a, b, track, params, mpc, c, d, opts, condense=condense,
+                structured=structured)
         )(x0b, x_ref, x_linb, u_linb)
 
     tick_j = jax.jit(tick)
@@ -103,20 +105,23 @@ def measure(opts, batch=1024, n_rep=10, condense="scan"):
 
 def main():
     variants = [
-        ("F32_OPTS (shipped)", ipm.F32_OPTS, "scan"),
+        ("F32_OPTS (shipped)", ipm.F32_OPTS, "scan", False),
         ("F32_OPTS, 10it", dataclasses.replace(ipm.F32_OPTS,
-                                               max_iters=10), "scan"),
-        ("F32_ACCURATE", ipm.F32_ACCURATE, "scan"),
-        ("F32_OPTS + pallas condense", ipm.F32_OPTS, "pallas"),
+                                               max_iters=10), "scan", False),
+        ("F32_ACCURATE", ipm.F32_ACCURATE, "scan", False),
+        ("F32_OPTS + pallas condense", ipm.F32_OPTS, "pallas", False),
         ("F32_OPTS + pallas, 10it", dataclasses.replace(
-            ipm.F32_OPTS, max_iters=10), "pallas"),
+            ipm.F32_OPTS, max_iters=10), "pallas", False),
+        ("F32_OPTS + pallas + genrows", ipm.F32_OPTS, "pallas", "gen"),
+        ("F32_ACCURATE + pallas + genrows", ipm.F32_ACCURATE, "pallas",
+         "gen"),
     ]
     out = {"backend": jax.default_backend(), "batch": 1024,
            "regime": "warm receding-horizon dynamic LTV, N=40",
            "results": []}
     u_ref = None
-    for name, opts, cond in variants:
-        sps, u = measure(opts, condense=cond)
+    for name, opts, cond, structured in variants:
+        sps, u = measure(opts, condense=cond, structured=structured)
         row = {"variant": name, "solves_per_sec": round(sps, 1),
                "ms_per_tick": round(1024 / sps * 1e3, 3)}
         if name == "F32_OPTS (shipped)":

@@ -203,3 +203,93 @@ def test_solve_matches_dense_f32(circ):
     d32 = np.abs(np.asarray(res32_d.x[: N * 2])
                  - np.asarray(res32_s.x[: N * 2]))
     assert d32[0] < 3e-2 and d32.mean() < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# GenRows: generator-factored rows (round-3 redesign; ops/structured.py)
+# ---------------------------------------------------------------------------
+
+def _gen_pair(track):
+    mpc = MPC_F32
+    params = VehicleParams()
+    x0, x_ref, x_lin, u_lin = _tick_inputs(mpc.n_steps, mpc.dt)
+    dense, _ = ltv.build_qp_dynamic(x0, x_ref, track, params, mpc,
+                                    x_lin, u_lin)
+    gen, _ = ltv.build_qp_dynamic(x0, x_ref, track, params, mpc,
+                                  x_lin, u_lin, structured="gen")
+    return dense, gen
+
+
+def test_genrows_products_match_materialized(circ):
+    _, gen = _gen_pair(circ)
+    A = gen[2]
+    Am = np.asarray(A.materialize())
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(Am.shape[1])
+    z = rng.standard_normal(Am.shape[0])
+    d = np.abs(rng.standard_normal(Am.shape[0]))
+    np.testing.assert_allclose(np.asarray(A.matvec(jnp.asarray(x))),
+                               Am @ x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(A.rmatvec(jnp.asarray(z))),
+                               Am.T @ z, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(A.quadform(jnp.asarray(d))),
+                               (Am.T * d) @ Am, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(A.row_sq_norms()),
+                               np.sum(Am ** 2, axis=1), atol=1e-10)
+    # scaling laws
+    r = np.abs(rng.standard_normal(Am.shape[0])) + 0.5
+    vs = np.abs(rng.standard_normal(Am.shape[1])) + 0.5
+    np.testing.assert_allclose(
+        np.asarray(A.scale_rows(jnp.asarray(r)).materialize()),
+        Am * r[:, None], atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(A.scale_cols(jnp.asarray(vs)).materialize()),
+        Am * vs[None, :], atol=1e-12)
+    # compensated products agree with the plain ones at f64
+    hi, lo = A.matvec_compensated(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(hi + lo), Am @ x, atol=1e-12)
+    base = jnp.asarray(rng.standard_normal(Am.shape[1]))
+    hi, lo = A.rmatvec_compensated(jnp.asarray(z), base)
+    np.testing.assert_allclose(np.asarray(hi + lo),
+                               np.asarray(base) + Am.T @ z, atol=1e-12)
+
+
+def test_genrows_same_row_set_as_dense(circ):
+    """Every dense (row, lbA, ubA) appears exactly once in the GenRows
+    assembly (stage-major vs group-major ordering)."""
+    dense, gen = _gen_pair(circ)
+    Am = np.asarray(gen[2].materialize())
+
+    def aug(A, lo, hi):
+        M = np.concatenate([np.asarray(A),
+                            np.asarray(lo)[:, None],
+                            np.asarray(hi)[:, None]], axis=1)
+        return np.where(np.isfinite(M), M, np.sign(M) * 1e6)
+
+    D = aug(dense[2], dense[5], dense[6])
+    G = aug(Am, gen[5], gen[6])
+    used = np.zeros(len(G), bool)
+    for row in D:
+        dist = np.abs(G - row[None, :]).max(axis=1)
+        dist[used] = np.inf
+        j = int(dist.argmin())
+        assert dist[j] < 1e-10, f"unmatched row (best {dist[j]:.2e})"
+        used[j] = True
+    assert used.all()
+
+
+def test_genrows_solve_matches_dense(circ):
+    dense, gen = _gen_pair(circ)
+    truth = np.asarray(ipm.solve_qp(*dense[:7]).x)
+    xg = np.asarray(ipm.solve_qp(*gen[:7]).x)
+    np.testing.assert_allclose(xg, truth, atol=1e-6)
+    # f32 within the measured envelope of the certified dense path
+    def to32(qp):
+        return tuple(jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), q) for q in qp[:7])
+    rg = ipm.solve_qp(*to32(gen), ipm.F32_ACCURATE)
+    x = np.asarray(rg.x, np.float64)
+    N = MPC_F32.n_steps
+    err = np.abs(x[: N * 2] - truth[: N * 2])
+    assert err[0] < 3e-2 and err[1] < 3e-2
+    assert err.mean() < 5e-3
