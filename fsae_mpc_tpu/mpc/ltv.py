@@ -4,8 +4,9 @@ Per control tick (the 20 Hz hot path, ``mpc/ltv/ltvmpc_*_curvilinear.m``):
 
   1. linearise the discrete RK step along the previous optimal trajectory
      (autodiff; reference hand chain rule ``rk4_dynamic_curvilinear.m``),
-  2. condense to dense prediction matrices with a ``lax.scan``
-     (reference ``sequential_integration.m``),
+  2. condense to dense prediction matrices -- on TPU a single fused
+     Pallas kernel runs the whole horizon recurrence in VMEM
+     (reference ``sequential_integration.m``; see CONDENSERS),
   3. build the condensed QP cost (``generate_qp.m:29-33``) and the
      state/soft/slip/friction-polygon constraint rows,
   4. solve with the batched interior-point method (reference: qpOASES MEX).
