@@ -228,8 +228,8 @@ jax.tree_util.register_dataclass(
     meta_fields=[])
 
 
-def _side(val, x_of, sign):
-    """Prepare one inequality side: finite mask and signed residual anchor."""
+def _side(val):
+    """Prepare one inequality side: finite mask and a safe bound value."""
     finite = jnp.isfinite(val)
     safe = jnp.where(finite, val, 0.0)
     return finite, safe
@@ -473,10 +473,10 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         r_scale = jnp.ones((m,), dtype)
 
     # ---- masks and safe bound values ------------------------------------
-    mbl, lb_s = _side(lb, None, +1)
-    mbu, ub_s = _side(ub, None, -1)
-    mrl, lbA_s = _side(lbA, None, +1)
-    mru, ubA_s = _side(ubA, None, -1)
+    mbl, lb_s = _side(lb)
+    mbu, ub_s = _side(ub)
+    mrl, lbA_s = _side(lbA)
+    mru, ubA_s = _side(ubA)
     n_active = (jnp.sum(mbl) + jnp.sum(mbu) + jnp.sum(mrl) + jnp.sum(mru))
     n_active = jnp.maximum(n_active, 1).astype(dtype)
 

@@ -183,8 +183,9 @@ def _condense_fused_vmap(axis_size, in_batched, Ad, Bd, dd):
         Bd = jnp.broadcast_to(Bd[None], (axis_size,) + Bd.shape)
     if not db:
         dd = jnp.broadcast_to(dd[None], (axis_size,) + dd.shape)
-    if _interpret():
-        # off-TPU (CPU tests, virtual-device dryruns): the interpreter
-        # would run the grid in Python -- use the batched scan instead
+    if _interpret() or Ad.dtype != jnp.float32:
+        # off-TPU (CPU tests, virtual-device dryruns) the interpreter would
+        # run the grid in Python; non-f32 dtypes (x64 debugging runs on a
+        # TPU backend) are unsupported by Mosaic -- batched scan for both.
         return jax.vmap(_condense_scan)(Ad, Bd, dd), (True, True, True)
     return condense_lanes(Ad, Bd, dd), (True, True, True)

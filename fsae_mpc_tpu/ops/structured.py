@@ -302,16 +302,22 @@ class GenRows:
         return residual_affine(AgT, c, base)
 
     def matvec_compensated(self, x):
-        """(hi, lo) of A @ x."""
+        """(hi, lo) of A @ x.
+
+        The large Ag @ x contraction is error-free-transformed; its
+        residual is carried through the (short, O(1)-coefficient) W
+        recombination as a separate lo term, matching the dense /
+        StageRows two-term contract used by the IPM's delta-form restart.
+        """
         S, R, G, ns, n = self._dims()
         Af = self.Ag.reshape(S * G, n)
         t_hi, t_lo = residual_affine(Af, x, jnp.zeros((S * G,), self.dtype))
         t_hi = t_hi.reshape(S, G)
         t_lo = t_lo.reshape(S, G)
-        y = (jnp.einsum("srg,sg->sr", self.W, t_hi)
-             + jnp.einsum("srg,sg->sr", self.W, t_lo)
-             + jnp.einsum("srj,j->sr", self.Ws, x[n - ns:]))
-        return y.reshape(S * R), jnp.zeros((S * R,), self.dtype)
+        y_hi = (jnp.einsum("srg,sg->sr", self.W, t_hi)
+                + jnp.einsum("srj,j->sr", self.Ws, x[n - ns:]))
+        y_lo = jnp.einsum("srg,sg->sr", self.W, t_lo)
+        return y_hi.reshape(S * R), y_lo.reshape(S * R)
 
     # ---- scaling / norms --------------------------------------------------
 

@@ -143,13 +143,11 @@ def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
 
     x_opt0, u_opt0 = _initial_guess(cfg, dtype)
 
-    from ..models import curvilinear as _cm
-    from ..models import integrators as _integ
     if kinematic:
-        _f = lambda x, u: _cm.f_curv_kin(x, u, track, params)
+        _f = lambda x, u: cm.f_curv_kin(x, u, track, params)
     else:
-        _f = lambda x, u: _cm.f_curv_dyn_only(x, u, track, params)
-    _step = lambda x, u: _integ.rk2_step(_f, x, u, cfg.mpc.dt)
+        _f = lambda x, u: cm.f_curv_dyn_only(x, u, track, params)
+    _step = lambda x, u: integrators.rk2_step(_f, x, u, cfg.mpc.dt)
 
     # Warm-start policy (measured, round 3):
     #   * LTV carries the previous tick's duals/primal through the sim scan
@@ -179,7 +177,7 @@ def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
         if not kinematic:
             raise ValueError("hs transcription is kinematic-only "
                              "(reference parity: hs_nmpc_kinematic only)")
-        _step_half = lambda x, u: _integ.rk2_step(_f, x, u, cfg.mpc.dt / 2.0)
+        _step_half = lambda x, u: integrators.rk2_step(_f, x, u, cfg.mpc.dt / 2.0)
         solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts,
                   warm=None:
                   collocation.hs_nmpc_kinematic(

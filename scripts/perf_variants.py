@@ -1,13 +1,12 @@
-"""On-chip throughput A/B of IPM/tick variants (round-3 perf campaign).
+"""On-chip throughput A/B of IPM/tick variants.
 
 Measures warm receding-horizon dynamic-LTV tick throughput (the bench.py
-regime) for a set of named solver/tick variants at batch 1024, and -- for
-accuracy accounting -- pulls one batch of production QPs to the host and
-compares each variant's f32 solution against a tight f64 solve of the
-same (f32-cast) data on CPU via a subprocess-free dual-backend trick:
-the f64 reference is computed once with numpy (Goldfarb-Idnani oracle is
-too slow at 800 rows; instead we reuse the repo's own IPM on the CPU
-backend through a separate process).
+regime) for a set of named solver/tick variants at batch 1024.  Each
+non-baseline variant also records ``max_du_vs_shipped``: the max |delta
+control| against the shipped F32_OPTS run -- a cross-variant CONSISTENCY
+check only, not an accuracy account.  The f32-vs-f64 accuracy accounting
+(tight f64 CPU solves of the same production QPs) lives in
+scripts/accuracy_onchip.py -> ACCURACY_TPU.json.
 
 Writes PERF_VARIANTS.json.  Run: python scripts/perf_variants.py
 """
@@ -106,6 +105,7 @@ def measure(opts, batch=1024, n_rep=10, condense="scan",
 def main():
     variants = [
         ("F32_OPTS (shipped)", ipm.F32_OPTS, "scan", False),
+        ("F32_OPTS + dnc condense", ipm.F32_OPTS, "dnc", False),
         ("F32_OPTS, 10it", dataclasses.replace(ipm.F32_OPTS,
                                                max_iters=10), "scan", False),
         ("F32_ACCURATE", ipm.F32_ACCURATE, "scan", False),
