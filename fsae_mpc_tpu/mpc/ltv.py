@@ -32,6 +32,7 @@ from ..ops.condense import (condense as _condense,
                             rollout as _rollout)
 from ..ops.pallas.condense import condense_fused as _condense_pallas
 from ..ops import ipm
+from ..ops import riccati
 from ..ops.precision import highest as _highest_precision
 from . import constraints as cons
 
@@ -55,8 +56,9 @@ jax.tree_util.register_dataclass(
 # (~6 MXU dispatches); "pallas" = single fused batch-in-lanes kernel
 # (ops/pallas/condense.py) that keeps the whole recurrence in VMEM.
 # All oracle-tested (tests/test_condense.py, tests/test_pallas.py).
-# Default chosen by on-chip warm-tick measurement (PERF_VARIANTS.json:
-# pallas 15,644 solves/s vs scan 13,606 vs dnc 12,549 at batch 1024);
+# Default chosen by on-chip measurement (PERF_VARIANTS.json: pallas
+# 15,644 solves/s vs scan 13,606 at batch 1024; dnc loses to the scan
+# already at the component level, 14.3 ms vs 11.3 ms, PROFILE_r03.json);
 # off-TPU the pallas entry falls back to the scan, so CPU golden tests
 # and virtual-device dryruns are unchanged.
 CONDENSERS = {"scan": _condense, "dnc": _condense_dnc,
@@ -372,36 +374,107 @@ def assemble_condensed_qp(A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
     return H, g, A, lb_v, ub_v, lbA, ubA, const
 
 
+def build_stage_rows(groups, N, nx, nu, n_soft, dtype):
+    """Emit stage-aligned constraint groups as per-stage row arrays.
+
+    Returns (C (N, r, nx), D (N, r, nu), Ws (N, r, ns), lbA (N, r),
+    ubA (N, r)) with rows  lbA <= C x_{k+1} + D u_k + Ws sigma <= ubA --
+    the reference's constraint semantics on ABSOLUTE states
+    (``dynamic_state_constraints.m``), i.e. the group's linearisation
+    constant is folded into the bounds, not into a predicted-state offset.
+    Soft two-sided groups emit separate lower(+sigma)/upper(-sigma) rows,
+    matching the dense assembly's convention.  Requires every group to be
+    stage-aligned (``state_rows == ctrl_cols == arange(N)``), which holds
+    for all LTV controllers.
+    """
+    C_parts, D_parts, Ws_parts, lo_parts, hi_parts = [], [], [], [], []
+
+    def emit(C, D, off, lo, hi, slack_col, sign):
+        rr = C.shape[1]
+        Ws = np.zeros((rr, n_soft), np.float64)
+        if slack_col is not None:
+            Ws[np.arange(rr), slack_col] = sign
+        C_parts.append(C)
+        D_parts.append(D)
+        Ws_parts.append(jnp.broadcast_to(jnp.asarray(Ws, dtype),
+                                         (N, rr, n_soft)))
+        lo_parts.append(jnp.asarray(lo, dtype)[None, :] - off)
+        hi_parts.append(jnp.asarray(hi, dtype)[None, :] - off)
+
+    for grp in groups:
+        Ng, rr, _ = grp.C.shape
+        if (Ng != N or not np.array_equal(grp.state_rows, np.arange(N))
+                or not np.array_equal(grp.ctrl_cols, np.arange(N))):
+            raise ValueError("stage-QP assembly requires stage-aligned "
+                             "groups")
+        lb_g = np.broadcast_to(grp.lb, (rr,))
+        ub_g = np.broadcast_to(grp.ub, (rr,))
+        sidx = np.broadcast_to(grp.slack_idx, (rr,))
+        hard = sidx < 0
+        if np.all(hard):
+            emit(grp.C, grp.D, grp.offset_const, lb_g, ub_g, None, 0.0)
+        else:
+            assert not np.any(hard), "mix of hard/soft rows within a group"
+            inf_v = np.full((rr,), np.inf)
+            if np.all(np.isfinite(lb_g)):
+                emit(grp.C, grp.D, grp.offset_const, lb_g, inf_v, sidx,
+                     +1.0)
+            if np.all(np.isfinite(ub_g)):
+                emit(grp.C, grp.D, grp.offset_const, -inf_v, ub_g, sidx,
+                     -1.0)
+
+    return (jnp.concatenate(C_parts, axis=1),
+            jnp.concatenate(D_parts, axis=1),
+            jnp.concatenate(Ws_parts, axis=1),
+            jnp.concatenate(lo_parts, axis=1),
+            jnp.concatenate(hi_parts, axis=1))
+
+
+def _stage_cost(x_ref, q, r_ab, mpc, N, dtype):
+    """Per-stage diagonal costs matching the condensed assembly
+    (``generate_qp.m:29-31`` semantics): Qx = 2 q_k, qx = -2 q_k xref_k,
+    Ru = 2 R.  Returns (Qx, qx, Ru, const) with ``const`` the dropped
+    constant sum_k xref' q_k xref."""
+    q_stage = jnp.concatenate(
+        [jnp.tile(q[None], (N - 1, 1)),
+         (q * mpc.q_terminal_scale)[None]], axis=0)            # (N, nx)
+    Qx = 2.0 * q_stage
+    qx = -2.0 * q_stage * x_ref
+    Ru = jnp.tile(2.0 * r_ab[None], (N, 1))
+    const = jnp.sum(q_stage * x_ref * x_ref)
+    return Qx, qx, Ru, const
+
+
+def build_stage_qp(x0, x_ref, q, r_ab, r_soft: Sequence[float], groups,
+                   mpc: MPCParams, Ad, Bd, dd, u_lb, u_ub):
+    """Assemble a :class:`ops.riccati.StageQP` from the discrete
+    linearisation + stage-aligned constraint groups.  Same minimiser as
+    the condensed dense QP of :func:`assemble_condensed_qp` (checked to
+    solver precision in tests/test_riccati.py), but no B_bar or dense
+    (N*r, N*nu) A is ever formed."""
+    N, nx, nu = Bd.shape
+    n_soft = len(r_soft)
+    dtype = Bd.dtype
+    Qx, qx, Ru, const = _stage_cost(x_ref, q, r_ab, mpc, N, dtype)
+    C, D, Ws, lbA, ubA = build_stage_rows(groups, N, nx, nu, n_soft, dtype)
+    qp = riccati.StageQP(
+        Ad=Ad, Bd=Bd, dd=dd, x0=x0, Qx=Qx, qx=qx, Ru=Ru,
+        ru=jnp.zeros((N, nu), dtype), g_s=jnp.asarray(r_soft, dtype),
+        C=C, D=D, Ws=Ws, lbA=lbA, ubA=ubA,
+        u_lb=u_lb, u_ub=u_ub,
+        s_lb=jnp.zeros((n_soft,), dtype),
+        s_ub=jnp.full((n_soft,), jnp.inf, dtype))
+    return qp, const
+
+
 def _control_bounds(mpc: MPCParams, N, dtype):
     u_lb = jnp.tile(jnp.asarray([-mpc.a_max, -mpc.delta_d_max], dtype), (N, 1))
     u_ub = jnp.tile(jnp.asarray([mpc.a_max, mpc.delta_d_max], dtype), (N, 1))
     return u_lb, u_ub
 
 
-def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
-                      mpc: MPCParams, x_lin, u_lin,
-                      opts: ipm.IpmOptions = ipm.IpmOptions(),
-                      stepper: str = "rk2", warm=None,
-                      condense: str | None = None) -> LtvResult:
-    """Kinematic-model LTV-MPC tick.
-
-    (``mpc/ltv/kinematic/ltvmpc_kinetmatic_curvilinear.m``: RK2 linearizer,
-    weights Q=[5,250,2000,0,0], one track slack with weight 1e8, lateral
-    -accel proxy constraint.)  ``x_ref``: (N, 5) time-major.
-    """
-    N = mpc.n_steps
-    dtype = x_lin.dtype
-    f = lambda x, u: cm.f_curv_kin(x, u, track, params)
-    step = lambda x, u: integrators.STEPPERS[stepper](f, x, u, mpc.dt)
-
-    Ad, Bd, dd = integrators.linearize_discrete(step, x_lin, u_lin)
-    A_bar, B_bar, d_bar = CONDENSERS[condense or DEFAULT_CONDENSE](Ad, Bd, dd)
-
-    q = jnp.asarray([mpc.q_s, mpc.q_n, mpc.q_mu, 0.0, 0.0], dtype)
-    q_diag = jnp.concatenate([jnp.tile(q, N - 1), q * mpc.q_terminal_scale])
-    r_diag = jnp.tile(jnp.asarray([mpc.r_a, mpc.r_delta_d], dtype), N)
-
-    groups = [
+def _kinematic_groups(x_lin, u_lin, mpc, params):
+    return [
         cons.state_box_group([3, 4],
                              np.array([0.0, -mpc.delta_max]),
                              np.array([np.inf, mpc.delta_max]),
@@ -411,7 +484,45 @@ def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
                              x_lin, u_lin),
         cons.kinematic_tyre_group(x_lin, u_lin, mpc, params, slack=0),
     ]
+
+
+def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
+                      mpc: MPCParams, x_lin, u_lin,
+                      opts: ipm.IpmOptions = ipm.IpmOptions(),
+                      stepper: str = "rk2", warm=None,
+                      condense: str | None = None,
+                      backend: str = "dense") -> LtvResult:
+    """Kinematic-model LTV-MPC tick.
+
+    (``mpc/ltv/kinematic/ltvmpc_kinetmatic_curvilinear.m``: RK2 linearizer,
+    weights Q=[5,250,2000,0,0], one track slack with weight 1e8, lateral
+    -accel proxy constraint.)  ``x_ref``: (N, 5) time-major.
+
+    ``backend="riccati"`` solves the same QP in its uncondensed stage-wise
+    form (``ops/riccati.py``) -- no condensing, no dense constraint
+    matrix.  ``warm`` must then be a :class:`ops.riccati.StageIpmResult`.
+    """
+    N = mpc.n_steps
+    dtype = x_lin.dtype
+    f = lambda x, u: cm.f_curv_kin(x, u, track, params)
+    step = lambda x, u: integrators.STEPPERS[stepper](f, x, u, mpc.dt)
+
+    Ad, Bd, dd = integrators.linearize_discrete(step, x_lin, u_lin)
+    q = jnp.asarray([mpc.q_s, mpc.q_n, mpc.q_mu, 0.0, 0.0], dtype)
+    r_ab = jnp.asarray([mpc.r_a, mpc.r_delta_d], dtype)
+    groups = _kinematic_groups(x_lin, u_lin, mpc, params)
     u_lb, u_ub = _control_bounds(mpc, N, dtype)
+
+    if backend == "riccati":
+        qp, const = build_stage_qp(x0, x_ref, q, r_ab, [mpc.w_track],
+                                   groups, mpc, Ad, Bd, dd, u_lb, u_ub)
+        res = riccati.solve_stage_qp(qp, opts, warm=warm)
+        return LtvResult(u_opt=res.u, x_opt=res.x, slack=res.s,
+                         fval=res.objective + const, qp=res)
+
+    A_bar, B_bar, d_bar = CONDENSERS[condense or DEFAULT_CONDENSE](Ad, Bd, dd)
+    q_diag = jnp.concatenate([jnp.tile(q, N - 1), q * mpc.q_terminal_scale])
+    r_diag = jnp.tile(r_ab, N)
 
     H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
         A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, [mpc.w_track],
@@ -422,6 +533,59 @@ def ltv_mpc_kinematic(x0, x_ref, track, params: VehicleParams,
     u_opt = u_flat.reshape(N, 2)
     x_opt = _rollout(Ad, Bd, dd, x0, u_opt)
     return LtvResult(u_opt=u_opt, x_opt=x_opt, slack=res.x[N * 2:],
+                     fval=res.objective + const, qp=res)
+
+
+def _dynamic_groups(x_lin, u_lin, mpc, params):
+    return [
+        cons.state_box_group([3, 6],
+                             np.array([0.0, -mpc.delta_max]),
+                             np.array([np.inf, mpc.delta_max]),
+                             np.array([-1, -1]), x_lin, u_lin),
+        cons.state_box_group([1], np.array([-mpc.n_max]),
+                             np.array([mpc.n_max]), np.array([0]),
+                             x_lin, u_lin),
+        cons.dynamic_slip_group(x_lin, u_lin, mpc, params,
+                                slack_rear=1, slack_front=2),
+        cons.friction_polygon_group(x_lin, u_lin, mpc, params, slack=3),
+    ]
+
+
+def build_stage_qp_dynamic(x0, x_ref, track, params: VehicleParams,
+                           mpc: MPCParams, x_lin, u_lin,
+                           stepper: str = "rk4"):
+    """Assemble the dynamic-model LTV tick as an uncondensed
+    :class:`ops.riccati.StageQP` (same minimiser as
+    :func:`build_qp_dynamic`'s condensed QP).  Returns (qp, const)."""
+    dtype = x_lin.dtype
+    f = lambda x, u: cm.f_curv_dyn_only(x, u, track, params)
+    step = lambda x, u: integrators.STEPPERS[stepper](f, x, u, mpc.dt)
+    Ad, Bd, dd = integrators.linearize_discrete(step, x_lin, u_lin)
+    q = jnp.asarray([mpc.q_s, mpc.q_n, mpc.q_mu, 0.0, 0.0, 0.0, 0.0], dtype)
+    r_ab = jnp.asarray([mpc.r_a, mpc.r_delta_d], dtype)
+    groups = _dynamic_groups(x_lin, u_lin, mpc, params)
+    u_lb, u_ub = _control_bounds(mpc, mpc.n_steps, dtype)
+    r_soft = [mpc.w_track, mpc.w_slip, mpc.w_slip, mpc.w_tyre]
+    return build_stage_qp(x0, x_ref, q, r_ab, r_soft, groups, mpc,
+                          Ad, Bd, dd, u_lb, u_ub)
+
+
+def ltv_mpc_dynamic_riccati(x0, x_ref, track, params: VehicleParams,
+                            mpc: MPCParams, x_lin, u_lin,
+                            opts: ipm.IpmOptions = ipm.IpmOptions(),
+                            stepper: str = "rk4", warm=None) -> LtvResult:
+    """Dynamic-model LTV-MPC tick on the stage-wise Riccati backend.
+
+    Solves the SAME QP as :func:`ltv_mpc_dynamic` (checked to solver
+    precision, tests/test_riccati.py) without ever materialising B_bar or
+    the (800, 84) constraint matrix -- the structural escape from the
+    dense path's measured HBM roofline (PROFILE_r03.json).  ``warm`` is a
+    :class:`ops.riccati.StageIpmResult` from a previous tick.
+    """
+    qp, const = build_stage_qp_dynamic(x0, x_ref, track, params, mpc,
+                                       x_lin, u_lin, stepper)
+    res = riccati.solve_stage_qp(qp, opts, warm=warm)
+    return LtvResult(u_opt=res.u, x_opt=res.x, slack=res.s,
                      fval=res.objective + const, qp=res)
 
 
@@ -450,18 +614,7 @@ def build_qp_dynamic(x0, x_ref, track, params: VehicleParams,
     q_diag = jnp.concatenate([jnp.tile(q, N - 1), q * mpc.q_terminal_scale])
     r_diag = jnp.tile(jnp.asarray([mpc.r_a, mpc.r_delta_d], dtype), N)
 
-    groups = [
-        cons.state_box_group([3, 6],
-                             np.array([0.0, -mpc.delta_max]),
-                             np.array([np.inf, mpc.delta_max]),
-                             np.array([-1, -1]), x_lin, u_lin),
-        cons.state_box_group([1], np.array([-mpc.n_max]),
-                             np.array([mpc.n_max]), np.array([0]),
-                             x_lin, u_lin),
-        cons.dynamic_slip_group(x_lin, u_lin, mpc, params,
-                                slack_rear=1, slack_front=2),
-        cons.friction_polygon_group(x_lin, u_lin, mpc, params, slack=3),
-    ]
+    groups = _dynamic_groups(x_lin, u_lin, mpc, params)
     u_lb, u_ub = _control_bounds(mpc, N, dtype)
 
     r_soft = [mpc.w_track, mpc.w_slip, mpc.w_slip, mpc.w_tyre]
@@ -483,7 +636,8 @@ def ltv_mpc_dynamic(x0, x_ref, track, params: VehicleParams,
                     opts: ipm.IpmOptions = ipm.IpmOptions(),
                     stepper: str = "rk4", warm=None,
                     structured: bool = False,
-                    condense: str | None = None) -> LtvResult:
+                    condense: str | None = None,
+                    backend: str = "dense") -> LtvResult:
     """Dynamic-model LTV-MPC tick.
 
     (``mpc/ltv/dynamic/ltvmpc_dynamic_curvilinear.m``: RK4 linearizer, four
@@ -498,6 +652,9 @@ def ltv_mpc_dynamic(x0, x_ref, track, params: VehicleParams,
     dual vector (``res.qp.z_rows``) is ordered stage-major, so warm starts
     must come from a same-layout solve.
     """
+    if backend == "riccati":
+        return ltv_mpc_dynamic_riccati(x0, x_ref, track, params, mpc,
+                                       x_lin, u_lin, opts, stepper, warm)
     N = mpc.n_steps
     (H, g, A, lb, ub, lbA, ubA, const), (Ad, Bd, dd) = build_qp_dynamic(
         x0, x_ref, track, params, mpc, x_lin, u_lin, stepper,

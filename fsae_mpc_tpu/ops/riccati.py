@@ -1,0 +1,740 @@
+"""Stage-wise block-Riccati primal-dual interior-point QP solver.
+
+The condensed dense IPM (``ops/ipm.py``) is measured at ~97% of the HBM
+roofline on the chip (PROFILE_r03.json: 52.9 ms speed-of-light vs 54.3 ms
+actual for the 12-iteration solve): its per-iteration cost is dominated by
+streaming the (800, 84) constraint matrix and the (84, 84) KKT factor
+through HBM several times.  This solver keeps the QP in its *uncondensed*
+stage-wise form -- the structure the reference's qpOASES backend receives
+implicitly through the condensed matrices (``optimizers/matlab/qpOASES/
+qpOASES.m:20-37``) -- and factors the Newton KKT system with a backward
+block-Riccati sweep over the horizon:
+
+    variables   u_k (nu), x_{k+1} (nx) for k = 0..N-1, global slacks sigma
+    dynamics    x_{k+1} = Ad_k x_k + Bd_k u_k + dd_k          (equalities)
+    rows        lbA_k <= C_k x_{k+1} + D_k u_k + Ws_k sigma <= ubA_k
+    bounds      u_lb <= u <= u_ub,  sigma >= 0
+
+Per IPM iteration the only dense objects ever touched are the per-stage
+blocks: (nx, nx) transition/cost, (r, nx)/(r, nu) row gradients, and tiny
+(nu, nu) factors -- neither the condensed B_bar (N*nx, N*nu) nor the dense
+(N*r, N*nu) constraint matrix exists at any point.  HBM traffic per
+iteration drops from ~1 MB/instance (dense path) to ~0.1 MB/instance; the
+arithmetic is small-matrix batched work that rides the VPU lanes under
+``vmap`` (and the fused Pallas kernel in ``ops/pallas/riccati.py``).
+
+The four global soft-constraint slacks couple every stage; they are
+eliminated with a Schur complement: the Riccati factorisation is applied to
+ns extra column right-hand-sides once per iteration, giving the (ns, ns)
+Schur system for d_sigma.
+
+Numerics mirror ``ops.ipm.solve_qp`` (same Mehrotra predictor-corrector,
+power-of-two objective/row scalings, masked infinite sides, complementarity
+capping, NaN rejection with inertia escalation, convergence freeze and
+best-iterate tracking), so the two backends are drop-in alternatives and
+cross-check each other (tests/test_riccati.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .ipm import IpmOptions, _pow2
+from .precision import highest as _highest_precision
+
+
+# ---------------------------------------------------------------------------
+# problem / result containers
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class StageQP:
+    """One stage-wise QP instance (vmap for batches).
+
+    Objective  sum_k [ 0.5 x_{k+1}' diag(Qx_k) x_{k+1} + qx_k' x_{k+1}
+                       + 0.5 u_k' diag(Ru_k) u_k + ru_k' u_k ] + g_s' sigma
+    """
+
+    Ad: Any        # (N, nx, nx)   discrete transition
+    Bd: Any        # (N, nx, nu)   discrete input map
+    dd: Any        # (N, nx)       affine offset
+    x0: Any        # (nx,)         fixed initial state
+    Qx: Any        # (N, nx)       diagonal state cost (on x_{k+1})
+    qx: Any        # (N, nx)       linear state cost
+    Ru: Any        # (N, nu)       diagonal control cost
+    ru: Any        # (N, nu)       linear control cost
+    g_s: Any       # (ns,)         linear slack cost
+    C: Any         # (N, r, nx)    row gradients wrt x_{k+1}
+    D: Any         # (N, r, nu)    row gradients wrt u_k
+    Ws: Any        # (N, r, ns)    row slack coefficients
+    lbA: Any       # (N, r)        row lower bounds (-inf = absent)
+    ubA: Any       # (N, r)        row upper bounds (+inf = absent)
+    u_lb: Any      # (N, nu)
+    u_ub: Any      # (N, nu)
+    s_lb: Any      # (ns,)
+    s_ub: Any      # (ns,)
+
+
+jax.tree_util.register_dataclass(
+    StageQP,
+    data_fields=["Ad", "Bd", "dd", "x0", "Qx", "qx", "Ru", "ru", "g_s",
+                 "C", "D", "Ws", "lbA", "ubA", "u_lb", "u_ub", "s_lb",
+                 "s_ub"],
+    meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
+class StageIpmResult:
+    u: Any         # (N, nu)
+    x: Any         # (N, nx)  optimal x_1..x_N
+    s: Any         # (ns,)
+    lam: Any       # (N, nx)  equality multipliers (unscaled)
+    z_u: Any       # (N, nu)  combined control-bound dual (z_l - z_u)
+    z_s: Any       # (ns,)    combined slack-bound dual
+    z_rows: Any    # (N, r)   combined row dual (z_l - z_u)
+    iterations: Any
+    mu: Any
+    primal_res: Any
+    dual_res: Any
+    objective: Any
+
+
+jax.tree_util.register_dataclass(
+    StageIpmResult,
+    data_fields=["u", "x", "s", "lam", "z_u", "z_s", "z_rows", "iterations",
+                 "mu", "primal_res", "dual_res", "objective"],
+    meta_fields=[])
+
+
+# ---------------------------------------------------------------------------
+# tiny SPD helpers (static n, unrolled -- no LAPACK custom calls on TPU)
+# ---------------------------------------------------------------------------
+
+
+def _spd_inv_small(A):
+    """Inverse of a tiny SPD matrix; closed form for n=2, unrolled
+    Cholesky otherwise.  Non-positive pivots poison the result with NaN
+    (picked up by the solver's finite-iterate rejection)."""
+    n = A.shape[-1]
+    if n == 2:
+        a, b, c = A[0, 0], A[0, 1], A[1, 1]
+        det = a * c - b * b
+        det = jnp.where((det > 0) & (a > 0), det, jnp.nan)
+        return jnp.array([[c, -b], [-b, a]], A.dtype) / det
+    L = _chol_small(A)
+    return _cho_solve_small(L, jnp.eye(n, dtype=A.dtype))
+
+
+def _chol_small(A):
+    """Unrolled Cholesky for static tiny n."""
+    n = A.shape[-1]
+    rows = [[None] * n for _ in range(n)]
+    for j in range(n):
+        c = A[j, j] - sum((rows[j][k] * rows[j][k] for k in range(j)),
+                          start=jnp.zeros((), A.dtype))
+        piv = jnp.where(c > 0, c, jnp.nan)
+        d = lax.rsqrt(piv)
+        rows[j][j] = c * d
+        for i in range(j + 1, n):
+            s = A[i, j] - sum((rows[i][k] * rows[j][k] for k in range(j)),
+                              start=jnp.zeros((), A.dtype))
+            rows[i][j] = s * d
+    return jnp.stack([jnp.stack([rows[i][j] if j <= i else
+                                 jnp.zeros((), A.dtype)
+                                 for j in range(n)]) for i in range(n)])
+
+
+def _cho_solve_small(L, B):
+    """Solve L L' X = B, unrolled; B: (n,) or (n, m)."""
+    n = L.shape[-1]
+    vec = B.ndim == 1
+    if vec:
+        B = B[:, None]
+    ys = []
+    for j in range(n):
+        acc = B[j]
+        for k in range(j):
+            acc = acc - L[j, k] * ys[k]
+        ys.append(acc / L[j, j])
+    xs = [None] * n
+    for j in reversed(range(n)):
+        acc = ys[j]
+        for k in range(j + 1, n):
+            acc = acc - L[k, j] * xs[k]
+        xs[j] = acc / L[j, j]
+    X = jnp.stack(xs)
+    return X[:, 0] if vec else X
+
+
+# ---------------------------------------------------------------------------
+# Riccati factor / apply
+# ---------------------------------------------------------------------------
+
+
+def riccati_factor(Ad, Bd, Qb, Rb, M):
+    """Backward block-Riccati factorisation of the equality-constrained
+    Newton KKT system with stage quadratics on the (x_{k+1}, u_k) pair:
+
+        0.5 x'Qb_k x + x'M_k u + 0.5 u'Rb_k u,   x_{k+1} = Ad x_k + Bd u + d
+
+    Returns per-stage (Huinv (N,nu,nu), G (N,nu,nx), W (N,nx,nx)) with
+        W_k    = Qb_k + P_{k+1}
+        Hu_k   = Rb_k + B'W B + B'M + M'B
+        G_k    = (B'W + M') A
+        P_k    = A'W A - G' Huinv G        (P_N = 0)
+    """
+    nx = Ad.shape[-1]
+    dtype = Ad.dtype
+
+    def bwd(P, stage):
+        A, B, Qbk, Rbk, Mk = stage
+        W = Qbk + P
+        WB = W @ B                                    # (nx, nu)
+        Hu = Rbk + B.T @ WB + B.T @ Mk + Mk.T @ B
+        Huinv = _spd_inv_small(Hu)
+        G = (WB + Mk).T @ A                           # (nu, nx)
+        WA = W @ A
+        P_new = A.T @ WA - G.T @ (Huinv @ G)
+        P_new = 0.5 * (P_new + P_new.T)
+        return P_new, (Huinv, G, W)
+
+    P0 = jnp.zeros((nx, nx), dtype)
+    _, fac = lax.scan(bwd, P0, (Ad, Bd, Qb, Rb, M), reverse=True)
+    return fac
+
+
+def riccati_apply(fac, Ad, Bd, M, rx, ru, re):
+    """Solve the factored KKT system for multiple right-hand sides.
+
+    ``rx`` (K, N, nx): stationarity rhs on x_{k+1}; ``ru`` (K, N, nu):
+    stationarity rhs on u_k; ``re`` (K, N, nx): equality rhs (the Newton
+    step satisfies dx_{k+1} = Ad dx_k + Bd du_k + re_k with dx_0 = 0).
+
+    Returns (du (K, N, nu), dx (K, N, nx), dlam (K, N, nx)).
+    """
+    Huinv, G, W = fac
+    K = rx.shape[0]
+    nx = Ad.shape[-1]
+    dtype = Ad.dtype
+
+    def bwd(p, stage):
+        A, B, Mk, Huik, Gk, Wk, rxk, ruk, rek = stage
+        w = rxk + p                                   # (K, nx)
+        Wd = rek @ Wk.T                               # (K, nx)
+        h = (Wd - w) @ B + rek @ Mk - ruk             # (K, nu)
+        Kg = Huik @ Gk                                # (nu, nx)
+        p_new = h @ Kg + (w - Wd) @ A
+        return p_new, (h, w)
+
+    p0 = jnp.zeros((K, nx), dtype)
+    _, (h_all, w_all) = lax.scan(
+        bwd, p0, (Ad, Bd, M, Huinv, G, W, jnp.swapaxes(rx, 0, 1),
+                  jnp.swapaxes(ru, 0, 1), jnp.swapaxes(re, 0, 1)),
+        reverse=True)
+
+    def fwd(dx, stage):
+        A, B, Mk, Huik, Gk, Wk, hk, wk, rek = stage
+        du = -(dx @ Gk.T + hk) @ Huik.T               # (K, nu)
+        dx_new = dx @ A.T + du @ B.T + rek
+        dlam = dx_new @ Wk.T + du @ Mk.T - wk
+        return dx_new, (du, dx_new, dlam)
+
+    dx0 = jnp.zeros((K, nx), dtype)
+    _, (du, dx, dlam) = lax.scan(
+        fwd, dx0, (Ad, Bd, M, Huinv, G, W, h_all, w_all,
+                   jnp.swapaxes(re, 0, 1)))
+    return (jnp.swapaxes(du, 0, 1), jnp.swapaxes(dx, 0, 1),
+            jnp.swapaxes(dlam, 0, 1))
+
+
+# ---------------------------------------------------------------------------
+# the solver
+# ---------------------------------------------------------------------------
+
+
+# Complementarity-diagonal caps.  The dense solver caps at 1e14/1e7
+# (f64/f32); the Riccati recursion SUBTRACTS near-equal cap-scale terms
+# (P = A'WA - G'Huinv G), so its cancellation error is ~cap * eps and the
+# cap must sit lower to keep the achievable KKT residual near the dense
+# path's (measured sweep in tests/test_riccati.py's tolerances).
+D_CAP_F64 = 1e14
+D_CAP_F32 = 1e7
+TRACE = False    # debug: per-iteration prints via jax.debug.print
+
+
+def _mask_side(val):
+    finite = jnp.isfinite(val)
+    return finite, jnp.where(finite, val, 0.0)
+
+
+def _rollout_scan(Ad, Bd, dd, x0, u):
+    """x_{k+1} = Ad_k x_k + Bd_k u_k + dd_k rollout -> (N, nx)."""
+    def roll(xk, stage):
+        A, B, d, uk = stage
+        xn = A @ xk + B @ uk + d
+        return xn, xn
+
+    _, xs = lax.scan(roll, x0, (Ad, Bd, dd, u))
+    return xs
+
+
+@_highest_precision
+def solve_stage_qp(qp: StageQP, opts: IpmOptions = IpmOptions(),
+                   warm: "StageIpmResult | None" = None) -> StageIpmResult:
+    """Solve one stage-wise QP instance (vmap for batches).
+
+    Supports the core of :class:`ops.ipm.IpmOptions`: max_iters / tol /
+    tau / reg / adaptive / freeze / equilibrate / init ("centered" |
+    "basic") / mu0 / warm_mu0 / warm_floor / correctors=0.  The condensed-
+    only refinements (polish, refine_restart, var_scale, scale_kkt,
+    comp_resid) do not apply -- the stage-wise KKT system never forms the
+    ill-conditioned condensed Hessian those options compensate for.
+    """
+    N, r, nx = qp.C.shape
+    nu = qp.Bd.shape[-1]
+    ns = qp.g_s.shape[0]
+    dtype = qp.Ad.dtype
+
+    # ---- objective scaling (pow2: roundoff-free) -------------------------
+    gmax = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(qp.Qx)), jnp.max(jnp.abs(qp.qx))),
+        jnp.maximum(jnp.max(jnp.abs(qp.Ru)),
+                    jnp.max(jnp.abs(qp.g_s)) if ns else 0.0))
+    c_scale = _pow2(1.0 / jnp.maximum(gmax, 1.0))
+    Qx = qp.Qx * c_scale
+    qx = qp.qx * c_scale
+    Ru = qp.Ru * c_scale
+    ru_lin = qp.ru * c_scale
+    g_s = qp.g_s * c_scale
+
+    # ---- row equilibration (pow2 of the 2-norm) --------------------------
+    if opts.equilibrate:
+        n2 = (jnp.sum(qp.C ** 2, -1) + jnp.sum(qp.D ** 2, -1)
+              + jnp.sum(qp.Ws ** 2, -1))
+        r_scale = _pow2(lax.rsqrt(jnp.maximum(n2, 1e-24)))     # (N, r)
+    else:
+        r_scale = jnp.ones((N, r), dtype)
+    C = qp.C * r_scale[..., None]
+    D = qp.D * r_scale[..., None]
+    Ws = qp.Ws * r_scale[..., None]
+    lbA = qp.lbA * r_scale
+    ubA = qp.ubA * r_scale
+
+    # ---- masks -----------------------------------------------------------
+    mrl, lbA_s = _mask_side(lbA)
+    mru, ubA_s = _mask_side(ubA)
+    mul, u_lb = _mask_side(qp.u_lb)
+    muu, u_ub = _mask_side(qp.u_ub)
+    msl, s_lb = _mask_side(qp.s_lb)
+    msu, s_ub = _mask_side(qp.s_ub)
+    n_active = (jnp.sum(mrl) + jnp.sum(mru) + jnp.sum(mul) + jnp.sum(muu)
+                + jnp.sum(msl) + jnp.sum(msu))
+    n_active = jnp.maximum(n_active, 1).astype(dtype)
+
+    Ad, Bd, dd, x0 = qp.Ad, qp.Bd, qp.dd, qp.x0
+    eye_x = jnp.eye(nx, dtype=dtype)
+    eye_u = jnp.eye(nu, dtype=dtype)
+    maxdiag = 1.0 + jnp.maximum(jnp.max(Qx), jnp.max(Ru))
+    d_cap = D_CAP_F64 if jnp.finfo(dtype).eps < 1e-10 else D_CAP_F32
+
+    def rows_of(x, u, s):
+        y = (jnp.einsum("nri,ni->nr", C, x)
+             + jnp.einsum("nrk,nk->nr", D, u))
+        if ns:
+            y = y + jnp.einsum("nrj,j->nr", Ws, s)
+        return y
+
+    def adjoint_lam(x, z_r):
+        """Equality multipliers that zero the x-stationarity residual at
+        (x, z_r): lam_k = Qx_k x_k + qx_k + Ad_{k+1}' lam_{k+1} - C_k' z_k.
+        Used to (re)initialise lam -- a stale lam (previous tick's QP)
+        measurably blows up the first warm iterations, since the Newton
+        rhs then carries an O(model-delta) x-residual into every stage."""
+        base = Qx * x + qx - jnp.einsum("nri,nr->ni", C, z_r)
+        A_next = jnp.concatenate([Ad[1:],
+                                  jnp.zeros((1, nx, nx), dtype)], axis=0)
+
+        def bwd(lam_next, stage):
+            b, An = stage
+            lam = b + An.T @ lam_next
+            return lam, lam
+
+        _, lam = lax.scan(bwd, jnp.zeros((nx,), dtype), (base, A_next),
+                          reverse=True)
+        return lam
+
+    def x_prev_of(x):
+        return jnp.concatenate([x0[None], x[:-1]], axis=0)
+
+    # ---- Newton solve given current diagonal weights ---------------------
+    def factor_and_columns(D_r, D_u, D_s, regm):
+        """Riccati factorisation + sigma Schur data for one iteration."""
+        Xq = jnp.einsum("nri,nr,nrj->nij", C, D_r, C)
+        Uq = jnp.einsum("nrk,nr,nrl->nkl", D, D_r, D)
+        Mq = jnp.einsum("nri,nr,nrk->nik", C, D_r, D)
+        reg = opts.reg * regm * maxdiag
+        Qb = (Xq + jax.vmap(jnp.diag)(Qx) + reg * eye_x)
+        Rb = (Uq + jax.vmap(jnp.diag)(Ru + D_u) + reg * eye_u)
+        fac = riccati_factor(Ad, Bd, Qb, Rb, Mq)
+        if ns:
+            Lx = jnp.einsum("nri,nr,nrj->nij", C, D_r, Ws)   # (N, nx, ns)
+            Lu = jnp.einsum("nrk,nr,nrj->nkj", D, D_r, Ws)   # (N, nu, ns)
+            Hss = (jnp.einsum("nri,nr,nrj->ij", Ws, D_r, Ws)
+                   + jnp.diag(D_s) + reg * jnp.eye(ns, dtype=dtype))
+            rx_c = jnp.moveaxis(Lx, -1, 0)                   # (ns, N, nx)
+            ru_c = jnp.moveaxis(Lu, -1, 0)
+            re_c = jnp.zeros((ns, N, nx), dtype)
+            Yu, Yx, Yl = riccati_apply(fac, Ad, Bd, Mq, rx_c, ru_c, re_c)
+            # Schur complement  S = Hss - L' K^-1 L
+            LtY = (jnp.einsum("nij,kni->jk", Lx, Yx)
+                   + jnp.einsum("nuj,knu->jk", Lu, Yu))
+            S = Hss - 0.5 * (LtY + LtY.T)
+            S_chol = _chol_small(S)
+        else:
+            Lx = Lu = Yu = Yx = Yl = S_chol = None
+        return fac, Mq, Lx, Lu, Yu, Yx, Yl, S_chol
+
+    def kkt_solve(facdata, rhs_x, rhs_u, rhs_s, re):
+        """Solve the full KKT (incl. sigma Schur) for ONE rhs."""
+        fac, Mq, Lx, Lu, Yu, Yx, Yl, S_chol = facdata
+        du0, dx0_, dl0 = riccati_apply(fac, Ad, Bd, Mq, rhs_x[None],
+                                       rhs_u[None], re[None])
+        du0, dx0_, dl0 = du0[0], dx0_[0], dl0[0]
+        if ns:
+            Ltv = (jnp.einsum("nij,ni->j", Lx, dx0_)
+                   + jnp.einsum("nuj,nu->j", Lu, du0))
+            dsg = _cho_solve_small(S_chol, rhs_s - Ltv)
+            du = du0 - jnp.einsum("jnk,j->nk", Yu, dsg)
+            dx = dx0_ - jnp.einsum("jni,j->ni", Yx, dsg)
+            dlam = dl0 - jnp.einsum("jni,j->ni", Yl, dsg)
+        else:
+            dsg = jnp.zeros((ns,), dtype)
+            du, dx, dlam = du0, dx0_, dl0
+        return du, dx, dlam, dsg
+
+    # ---- residuals -------------------------------------------------------
+    def residuals(state):
+        (u, x, s, lam, (srl, sru, sul, suu, ssl, ssu),
+         (zrl, zru, zul, zuu, zsl, zsu)) = state
+        y = rows_of(x, u, s)
+        z_r = zrl - zru
+        r_du = (Ru * u + ru_lin
+                + jnp.einsum("nik,ni->nk", Bd, lam)
+                - (zul - zuu) - jnp.einsum("nrk,nr->nk", D, z_r))
+        adj = jnp.einsum("nij,ni->nj", Ad[1:], lam[1:])
+        adj = jnp.concatenate([adj, jnp.zeros((1, nx), dtype)], axis=0)
+        r_dx = (Qx * x + qx - lam + adj
+                - jnp.einsum("nri,nr->ni", C, z_r))
+        r_ds = g_s - (zsl - zsu) - jnp.einsum("nrj,nr->j", Ws, z_r)
+        r_eq = (jnp.einsum("nij,nj->ni", Ad, x_prev_of(x))
+                + jnp.einsum("nik,nk->ni", Bd, u) + dd - x)
+        r_prl = jnp.where(mrl, srl - (y - lbA_s), 0.0)
+        r_pru = jnp.where(mru, sru - (ubA_s - y), 0.0)
+        r_pul = jnp.where(mul, sul - (u - u_lb), 0.0)
+        r_puu = jnp.where(muu, suu - (u_ub - u), 0.0)
+        r_psl = jnp.where(msl, ssl - (s - s_lb), 0.0)
+        r_psu = jnp.where(msu, ssu - (s_ub - s), 0.0)
+        return (r_du, r_dx, r_ds, r_eq,
+                (r_prl, r_pru, r_pul, r_puu, r_psl, r_psu))
+
+    def pres_of(r_eq, rp):
+        r_prl, r_pru, r_pul, r_puu, r_psl, r_psu = rp
+        m = jnp.maximum(jnp.max(jnp.abs(r_prl / r_scale)),
+                        jnp.max(jnp.abs(r_pru / r_scale)))
+        m = jnp.maximum(m, jnp.max(jnp.abs(r_pul)))
+        m = jnp.maximum(m, jnp.max(jnp.abs(r_puu)))
+        if ns:
+            m = jnp.maximum(m, jnp.maximum(jnp.max(jnp.abs(r_psl)),
+                                           jnp.max(jnp.abs(r_psu))))
+        return jnp.maximum(m, jnp.max(jnp.abs(r_eq)))
+
+    def dres_of(r_du, r_dx, r_ds):
+        m = jnp.maximum(jnp.max(jnp.abs(r_du)), jnp.max(jnp.abs(r_dx)))
+        if ns:
+            m = jnp.maximum(m, jnp.max(jnp.abs(r_ds)))
+        return m
+
+    def mu_of(state):
+        S, Z = state[4], state[5]
+        masks = (mrl, mru, mul, muu, msl, msu)
+        tot = sum(jnp.sum(jnp.where(mk, s_ * z_, 0.0))
+                  for mk, s_, z_ in zip(masks, S, Z))
+        return tot / n_active
+
+    def score_of(state):
+        r_du, r_dx, r_ds, r_eq, rp = residuals(state)
+        return (pres_of(r_eq, rp) + 10.0 * dres_of(r_du, r_dx, r_ds)
+                + mu_of(state))
+
+    # ---- initial point ---------------------------------------------------
+    def init_solve():
+        """Equality-constrained minimiser (no inequalities) via one
+        regularised Riccati solve -- the stage-wise analogue of the dense
+        solver's centered initialisation."""
+        shift0 = 1e-3 if jnp.finfo(dtype).eps > 1e-10 else 1e-8
+        reg0 = shift0 * maxdiag
+        Qb0 = jax.vmap(jnp.diag)(Qx) + reg0 * eye_x
+        Rb0 = jax.vmap(jnp.diag)(Ru) + reg0 * eye_u
+        M0 = jnp.zeros((N, nx, nu), dtype)
+        fac0 = riccati_factor(Ad, Bd, Qb0, Rb0, M0)
+        re0 = dd.at[0].add(Ad[0] @ x0)
+        u_i, x_i, lam_i = riccati_apply(
+            fac0, Ad, Bd, M0, (-qx)[None], (-ru_lin)[None], re0[None])
+        return u_i[0], x_i[0], lam_i[0]
+
+    if warm is None and opts.init == "centered":
+        u0_, x0_, _ = init_solve()
+        ok = jnp.all(jnp.isfinite(u0_)) & jnp.all(jnp.isfinite(x0_))
+        u0_ = jnp.where(ok, u0_, 0.0)
+        u0_ = jnp.clip(u0_, jnp.where(mul, u_lb, -jnp.inf),
+                       jnp.where(muu, u_ub, jnp.inf))
+        x0_ = _rollout_scan(Ad, Bd, dd, x0, u0_)
+        s0_ = jnp.zeros((ns,), dtype)
+        mu0 = opts.mu0
+    elif warm is not None:
+        # warm primal: controls + slacks carry over, but the STATES must be
+        # re-rolled under THIS tick's dynamics (the warm x satisfies the
+        # previous linearisation's equalities; reusing it verbatim starts
+        # the solve with an O(model-delta) equality residual that the
+        # fraction-to-boundary steps then never fully burn off -- measured
+        # slack divergence in the f32 receding-horizon chain).
+        u0_ = jnp.clip(warm.u, jnp.where(mul, u_lb, -jnp.inf),
+                       jnp.where(muu, u_ub, jnp.inf))
+        x0_ = _rollout_scan(Ad, Bd, dd, x0, u0_)
+        s0_ = warm.s
+        mu0 = opts.warm_mu0
+    else:
+        u0_ = jnp.zeros((N, nu), dtype)
+        x0_ = _rollout_scan(Ad, Bd, dd, x0, u0_)
+        s0_ = jnp.zeros((ns,), dtype)
+        mu0 = opts.mu0
+    s_init0 = s0_
+    y0 = rows_of(x0_, u0_, s_init0)
+    raw = [jnp.where(mrl, y0 - lbA_s, jnp.inf),
+           jnp.where(mru, ubA_s - y0, jnp.inf),
+           jnp.where(mul, u0_ - u_lb, jnp.inf),
+           jnp.where(muu, u_ub - u0_, jnp.inf),
+           jnp.where(msl, s_init0 - s_lb, jnp.inf),
+           jnp.where(msu, s_ub - s_init0, jnp.inf)]
+    masks = (mrl, mru, mul, muu, msl, msu)
+    if warm is None:
+        # Mehrotra-style GLOBAL positive shift, duals on the central path
+        # (s_i z_i = mu0) -- standard for cold starts, where the init
+        # solve's violations are moderate and shared.
+        smin = jnp.minimum(
+            jnp.minimum(jnp.minimum(jnp.min(raw[0]), jnp.min(raw[1])),
+                        jnp.minimum(jnp.min(raw[2]), jnp.min(raw[3]))),
+            jnp.minimum(jnp.min(raw[4]) if ns else jnp.inf,
+                        jnp.min(raw[5]) if ns else jnp.inf))
+        shift = jnp.maximum(-1.5 * smin, 0.0) + 1e-2
+        S0 = tuple(jnp.where(mk, rw + shift, 1.0)
+                   for mk, rw in zip(masks, raw))
+    else:
+        # PER-ELEMENT floor for warm starts: a receding-horizon warm point
+        # can violate a single row badly (the shifted trajectory leaving
+        # the track at the horizon tail); a global shift would displace
+        # every slack by that violation and destroy the warm proximity
+        # (measured: mu climbs 30x over the first warm iterations and the
+        # 12-iteration budget returns garbage).  Flooring concentrates the
+        # primal residual on the violated rows only.
+        S0 = tuple(jnp.where(mk, jnp.maximum(rw, 1e-2), 1.0)
+                   for mk, rw in zip(masks, raw))
+    Z0 = tuple(jnp.where(mk, mu0 / s_, 0.0).astype(dtype)
+               for mk, s_ in zip(masks, S0))
+    # consistent multipliers for THIS QP at the initial point (stale /
+    # init-solve lam would leave an O(1) x-stationarity residual)
+    lam0 = adjoint_lam(x0_, Z0[0] - Z0[1])
+    state0 = (u0_, x0_, s_init0, lam0, S0, Z0)
+
+    # ---- one Mehrotra iteration -----------------------------------------
+    def iterate(state, regm):
+        (u, x, s, lam, S, Z) = state
+        srl, sru, sul, suu, ssl, ssu = S
+        zrl, zru, zul, zuu, zsl, zsu = Z
+        mu = mu_of(state)
+        r_du, r_dx, r_ds, r_eq, rp = residuals(state)
+        r_prl, r_pru, r_pul, r_puu, r_psl, r_psu = rp
+        pres_in = pres_of(r_eq, rp)
+        dres_in = dres_of(r_du, r_dx, r_ds)
+        score_in = pres_in + 10.0 * dres_in + mu
+
+        if opts.freeze is not None:
+            fp, fd, fm = opts.freeze
+            frozen = (pres_in < fp) & (dres_in < fd) & (mu < fm)
+        else:
+            frozen = jnp.zeros((), jnp.bool_)
+
+        clipd = lambda z_, s_, mk: jnp.clip(
+            jnp.where(mk, z_ / s_, 0.0), 0.0, d_cap)
+        drl, dru = clipd(zrl, srl, mrl), clipd(zru, sru, mru)
+        dul, duu = clipd(zul, sul, mul), clipd(zuu, suu, muu)
+        dsl, dsu = clipd(zsl, ssl, msl), clipd(zsu, ssu, msu)
+        D_r = drl + dru
+        D_u = dul + duu
+        D_s = dsl + dsu
+
+        facdata = factor_and_columns(D_r, D_u, D_s, regm)
+
+        def full_solve(rc):
+            rc_rl, rc_ru, rc_ul, rc_uu, rc_sl, rc_su = rc
+            t_r = (jnp.where(mrl, (rc_rl + zrl * r_prl) / srl, 0.0)
+                   - jnp.where(mru, (rc_ru + zru * r_pru) / sru, 0.0))
+            t_u = (jnp.where(mul, (rc_ul + zul * r_pul) / sul, 0.0)
+                   - jnp.where(muu, (rc_uu + zuu * r_puu) / suu, 0.0))
+            t_s = (jnp.where(msl, (rc_sl + zsl * r_psl) / ssl, 0.0)
+                   - jnp.where(msu, (rc_su + zsu * r_psu) / ssu, 0.0))
+            rhs_u = -r_du + t_u + jnp.einsum("nrk,nr->nk", D, t_r)
+            rhs_x = -r_dx + jnp.einsum("nri,nr->ni", C, t_r)
+            rhs_s = -r_ds + t_s + jnp.einsum("nrj,nr->j", Ws, t_r)
+            du, dx, dlam, dsg = kkt_solve(facdata, rhs_x, rhs_u, rhs_s,
+                                          -r_eq)
+            dy = rows_of(dx, du, dsg)      # rows_of is linear
+            dsrl = jnp.where(mrl, dy - r_prl, 0.0)
+            dsru = jnp.where(mru, -dy - r_pru, 0.0)
+            dsul = jnp.where(mul, du - r_pul, 0.0)
+            dsuu = jnp.where(muu, -du - r_puu, 0.0)
+            dssl = jnp.where(msl, dsg - r_psl, 0.0)
+            dssu = jnp.where(msu, -dsg - r_psu, 0.0)
+            dS = (dsrl, dsru, dsul, dsuu, dssl, dssu)
+            dz = lambda rc_, z_, s_, ds_, mk: jnp.where(
+                mk, (rc_ - z_ * ds_) / s_, 0.0)
+            dZ = (dz(rc_rl, zrl, srl, dsrl, mrl),
+                  dz(rc_ru, zru, sru, dsru, mru),
+                  dz(rc_ul, zul, sul, dsul, mul),
+                  dz(rc_uu, zuu, suu, dsuu, muu),
+                  dz(rc_sl, zsl, ssl, dssl, msl),
+                  dz(rc_su, zsu, ssu, dssu, msu))
+            return (du, dx, dsg, dlam), dS, dZ
+
+        def max_step(s_, ds_, mk):
+            lim = jnp.where(mk & (ds_ < 0),
+                            -opts.tau * s_ / jnp.minimum(ds_, -1e-30), 1.0)
+            return jnp.min(lim)
+
+        def steps_of(dS, dZ):
+            a_p = jnp.ones((), dtype)
+            a_d = jnp.ones((), dtype)
+            for mk, s_, ds_ in zip(masks, S, dS):
+                a_p = jnp.minimum(a_p, max_step(s_, ds_, mk))
+            for mk, z_, dz_ in zip(masks, Z, dZ):
+                a_d = jnp.minimum(a_d, max_step(z_, dz_, mk))
+            return jnp.minimum(a_p, 1.0), jnp.minimum(a_d, 1.0)
+
+        # predictor
+        rc_aff = tuple(jnp.where(mk, -s_ * z_, 0.0)
+                       for mk, s_, z_ in zip(masks, S, Z))
+        dv_a, dS_a, dZ_a = full_solve(rc_aff)
+        a_p, a_d = steps_of(dS_a, dZ_a)
+        tot_aff = sum(
+            jnp.sum(jnp.where(mk, (s_ + a_p * ds_) * (z_ + a_d * dz_), 0.0))
+            for mk, s_, ds_, z_, dz_ in zip(masks, S, dS_a, Z, dZ_a))
+        mu_aff = tot_aff / n_active
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
+
+        # corrector
+        rc_c = tuple(
+            jnp.where(mk, sigma * mu - s_ * z_ - ds_ * dz_, 0.0)
+            for mk, s_, z_, ds_, dz_ in zip(masks, S, Z, dS_a, dZ_a))
+        dv, dS, dZ = full_solve(rc_c)
+        a_p, a_d = steps_of(dS, dZ)
+
+        du, dx, dsg, dlam = dv
+        u_n = u + a_p * du
+        x_n = x + a_p * dx
+        s_n = s + a_p * dsg
+        lam_n = lam + a_d * dlam
+        S_n = tuple(jnp.where(mk, s_ + a_p * ds_, 1.0)
+                    for mk, s_, ds_ in zip(masks, S, dS))
+        Z_n = tuple(jnp.where(mk, z_ + a_d * dz_, 0.0)
+                    for mk, z_, dz_ in zip(masks, Z, dZ))
+        new = (u_n, x_n, s_n, lam_n, S_n, Z_n)
+        if TRACE:
+            names = ["rl", "ru", "ul", "uu", "sl", "su"]
+            lims = {nm + "_p": max_step(s_, ds_, mk)
+                    for nm, mk, s_, ds_ in zip(names, masks, S, dS)}
+            lims.update({nm + "_d": max_step(z_, dz_, mk)
+                         for nm, mk, z_, dz_ in zip(names, masks, Z, dZ)})
+            jax.debug.print(
+                "it pres={p:.2e} dres={d:.2e} mu={m:.2e} a_p={ap:.3f} "
+                "a_d={ad:.3f} sig={sg:.2e} muaff={ma:.2e} du_max={dm:.2e} "
+                "lims={l}",
+                p=pres_in, d=dres_in, m=mu, ap=a_p, ad=a_d, sg=sigma,
+                ma=mu_aff, dm=jnp.max(jnp.abs(dv[0])), l=lims)
+        finite = jnp.all(jnp.stack(
+            [jnp.all(jnp.isfinite(v)) for v in
+             jax.tree_util.tree_leaves(new)]))
+        good = finite & jnp.logical_not(frozen)
+        kept = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(good, a, b), new, state)
+        return kept, good, score_in
+
+    def regm_next(regm, good):
+        return jnp.where(good, jnp.maximum(regm * 0.1, 1.0),
+                         jnp.minimum(regm * 100.0, 1e12))
+
+    inf_score = jnp.asarray(jnp.inf, dtype)
+    regm0 = jnp.asarray(1.0, dtype)
+
+    def converged(state):
+        r_du, r_dx, r_ds, r_eq, rp = residuals(state)
+        return ((pres_of(r_eq, rp) < opts.tol)
+                & (dres_of(r_du, r_dx, r_ds) < opts.tol)
+                & (mu_of(state) < opts.tol))
+
+    if opts.adaptive:
+        def cond(carry):
+            it, state, best, bscore, regm = carry
+            return (it < opts.max_iters) & jnp.logical_not(converged(state))
+
+        def body(carry):
+            it, state, best, bscore, regm = carry
+            new_state, good, sc = iterate(state, regm)
+            better = sc < bscore
+            best = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), state, best)
+            bscore = jnp.where(better, sc, bscore)
+            return it + 1, new_state, best, bscore, regm_next(regm, good)
+
+        iters, state, best, bscore, _ = lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), state0, state0, inf_score, regm0))
+    else:
+        def body(i, carry):
+            state, best, bscore, regm = carry
+            new_state, good, sc = iterate(state, regm)
+            better = sc < bscore
+            best = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), state, best)
+            bscore = jnp.where(better, sc, bscore)
+            return new_state, best, bscore, regm_next(regm, good)
+
+        state, best, bscore, _ = lax.fori_loop(
+            0, opts.max_iters, body, (state0, state0, inf_score, regm0))
+        iters = jnp.asarray(opts.max_iters, jnp.int32)
+
+    final_better = score_of(state) < bscore
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(final_better, a, b), state, best)
+
+    (u, x, s, lam, S, Z) = state
+    zrl, zru, zul, zuu, zsl, zsu = Z
+    r_du, r_dx, r_ds, r_eq, rp = residuals(state)
+    obj = (0.5 * jnp.sum(qp.Qx * x * x) + jnp.sum(qp.qx * x)
+           + 0.5 * jnp.sum(qp.Ru * u * u) + jnp.sum(qp.ru * u)
+           + (qp.g_s @ s if ns else 0.0))
+    return StageIpmResult(
+        u=u, x=x, s=s, lam=lam / c_scale,
+        z_u=(zul - zuu) / c_scale,
+        z_s=(zsl - zsu) / c_scale,
+        z_rows=(zrl - zru) * r_scale / c_scale,
+        iterations=iters,
+        mu=mu_of(state) / c_scale,
+        primal_res=pres_of(r_eq, rp),
+        dual_res=dres_of(r_du, r_dx, r_ds) / c_scale,
+        objective=obj)
