@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .ipm import IpmOptions, _pow2
+from .pallas import riccati as priccati
 from .precision import highest as _highest_precision
 
 
@@ -177,7 +178,7 @@ def _cho_solve_small(L, B):
 # ---------------------------------------------------------------------------
 
 
-def riccati_factor(Ad, Bd, Qb, Rb, M):
+def _factor_scan(Ad, Bd, Qb, Rb, M):
     """Backward block-Riccati factorisation of the equality-constrained
     Newton KKT system with stage quadratics on the (x_{k+1}, u_k) pair:
 
@@ -209,7 +210,7 @@ def riccati_factor(Ad, Bd, Qb, Rb, M):
     return fac
 
 
-def riccati_apply(fac, Ad, Bd, M, rx, ru, re):
+def _apply_scan(fac, Ad, Bd, M, rx, ru, re):
     """Solve the factored KKT system for multiple right-hand sides.
 
     ``rx`` (K, N, nx): stationarity rhs on x_{k+1}; ``ru`` (K, N, nu):
@@ -251,6 +252,57 @@ def riccati_apply(fac, Ad, Bd, M, rx, ru, re):
                    jnp.swapaxes(re, 0, 1)))
     return (jnp.swapaxes(du, 0, 1), jnp.swapaxes(dx, 0, 1),
             jnp.swapaxes(dlam, 0, 1))
+
+
+@jax.custom_batching.custom_vmap
+def riccati_factor(Ad, Bd, Qb, Rb, M):
+    """Riccati factorisation (see :func:`_factor_scan`).  Per-instance
+    calls run the lax.scan sweep; under ``vmap`` on TPU/f32 the whole
+    sweep runs as one fused batch-in-lanes Pallas kernel
+    (``ops/pallas/riccati.py``)."""
+    return _factor_scan(Ad, Bd, Qb, Rb, M)
+
+
+@riccati_factor.def_vmap
+def _riccati_factor_vmap(axis_size, in_batched, Ad, Bd, Qb, Rb, M):
+    args = []
+    for batched, a in zip(in_batched, (Ad, Bd, Qb, Rb, M)):
+        if not batched:
+            a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        args.append(a)
+    if priccati.use_kernel(args[0], args[1]):
+        out = priccati.factor_lanes(*args)
+    else:
+        out = jax.vmap(_factor_scan)(*args)
+    return out, (True, True, True)
+
+
+@jax.custom_batching.custom_vmap
+def _riccati_apply_flat(Huinv, G, W, Ad, Bd, M, rx, ru, re):
+    return _apply_scan((Huinv, G, W), Ad, Bd, M, rx, ru, re)
+
+
+@_riccati_apply_flat.def_vmap
+def _riccati_apply_vmap(axis_size, in_batched, *args):
+    args = list(args)
+    for i, batched in enumerate(in_batched):
+        if not batched:
+            args[i] = jnp.broadcast_to(args[i][None],
+                                       (axis_size,) + args[i].shape)
+    if priccati.use_kernel(args[3], args[4]):
+        out = priccati.apply_lanes(*args)
+    else:
+        out = jax.vmap(lambda hu, g, w, ad, bd, m, rx, ru, re:
+                       _apply_scan((hu, g, w), ad, bd, m, rx, ru, re))(
+                           *args)
+    return out, (True, True, True)
+
+
+def riccati_apply(fac, Ad, Bd, M, rx, ru, re):
+    """Riccati substitution (see :func:`_apply_scan`); fused Pallas
+    sweeps under ``vmap`` on TPU/f32."""
+    Huinv, G, W = fac
+    return _riccati_apply_flat(Huinv, G, W, Ad, Bd, M, rx, ru, re)
 
 
 # ---------------------------------------------------------------------------

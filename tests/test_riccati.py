@@ -235,6 +235,47 @@ def test_vmap_batch_matches_single():
                                np.asarray(single0.u), atol=1e-6)
 
 
+def test_pallas_lanes_kernels_match_scan():
+    """factor_lanes / apply_lanes (interpret mode on CPU) vs the scan
+    implementation -- the same kernels compile with Mosaic on TPU."""
+    from fsae_mpc_tpu.ops.pallas import riccati as priccati
+
+    rng = np.random.default_rng(11)
+    B, N, nx, nu, K = 3, 5, 4, 2, 2
+    Ad = jnp.asarray(0.8 * np.stack(
+        [[np.eye(nx) + 0.1 * rng.standard_normal((nx, nx))
+          for _ in range(N)] for _ in range(B)]), F64)
+    Bd = jnp.asarray(rng.standard_normal((B, N, nx, nu)), F64)
+    Qb = jnp.asarray(np.stack(
+        [[np.diag(rng.uniform(0.5, 2.0, nx)) for _ in range(N)]
+         for _ in range(B)]), F64)
+    Rb = jnp.asarray(np.stack(
+        [[np.diag(rng.uniform(0.5, 2.0, nu)) for _ in range(N)]
+         for _ in range(B)]), F64)
+    M = jnp.asarray(0.1 * rng.standard_normal((B, N, nx, nu)), F64)
+    rx = jnp.asarray(rng.standard_normal((B, K, N, nx)), F64)
+    ru = jnp.asarray(rng.standard_normal((B, K, N, nu)), F64)
+    re = jnp.asarray(0.1 * rng.standard_normal((B, K, N, nx)), F64)
+
+    fac_s = jax.vmap(riccati._factor_scan)(Ad, Bd, Qb, Rb, M)
+    fac_k = priccati.factor_lanes(Ad, Bd, Qb, Rb, M)
+    for a, b in zip(fac_s, fac_k):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-10)
+
+    du_s, dx_s, dl_s = jax.vmap(
+        lambda hu, g, w, ad, bd, m, rx_, ru_, re_:
+        riccati._apply_scan((hu, g, w), ad, bd, m, rx_, ru_, re_))(
+            *fac_s, Ad, Bd, M, rx, ru, re)
+    du_k, dx_k, dl_k = priccati.apply_lanes(*fac_k, Ad, Bd, M, rx, ru, re)
+    np.testing.assert_allclose(np.asarray(du_k), np.asarray(du_s),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_s),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dl_k), np.asarray(dl_s),
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_riccati_factor_apply_solves_kkt():
     """riccati_factor/apply solve the saddle KKT system: verify against a
     dense numpy solve of the full (u, x, lam) system."""
