@@ -40,6 +40,13 @@ def main():
     on_tpu = jax.default_backend() != "cpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
     batch = 1024 if on_tpu else 32
+    # QP backend: the uncondensed stage-wise block-Riccati IPM
+    # (ops/riccati.py + fused Pallas sweeps) -- measured 2.3x the
+    # condensed dense path on the chip (AB_RICCATI.json) with
+    # closed-loop lap quality equal or better (lap row in the same
+    # artifact).  CPU smoke runs keep the dense path (the Riccati
+    # Pallas kernels need the TPU backend for their fused form).
+    backend = "riccati" if on_tpu else "dense"
 
     mpc = MPC_F32 if on_tpu else MPCParams()
     opts = (ipm.F32_OPTS if on_tpu
@@ -62,7 +69,8 @@ def main():
         x_ref = jax.vmap(make_ref)(x0)
         res = jax.vmap(
             lambda a, b, c, d, w: ltv.ltv_mpc_dynamic(
-                a, b, track, params, mpc, c, d, opts, warm=w)
+                a, b, track, params, mpc, c, d, opts, warm=w,
+                backend=backend)
         )(x0, x_ref, x_lin, u_lin, warm)
         x0_next = jax.vmap(step)(x0, res.u_opt[:, 0])
         return (x0_next, res.x_opt, res.u_opt, res.qp), res.u_opt[:, 0]
@@ -85,7 +93,7 @@ def main():
         x_ref = jax.vmap(make_ref)(x0b)
         return jax.vmap(
             lambda a, b, c, d: ltv.ltv_mpc_dynamic(
-                a, b, track, params, mpc, c, d, opts)
+                a, b, track, params, mpc, c, d, opts, backend=backend)
         )(x0b, x_ref, x_linb, u_linb)
 
     args0 = [jnp.asarray(a, dtype) for a in (x0, x_lin, u_lin)]

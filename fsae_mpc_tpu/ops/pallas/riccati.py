@@ -33,10 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-MAX_TB = 1024      # batch elements per grid step: the per-stage blocks are
-                   # tiny (<= 49 x TB floats), so wide blocks amortise the
-                   # ~2-3 us Mosaic grid-step overhead that dominates at
-                   # TB=128 (8 blocks x 40 stages = 320 steps/sweep)
+MAX_TB = 512       # batch elements per grid step: the per-stage blocks are
+                   # small, so wide blocks amortise the
+                   # Mosaic grid-step overhead; 1024 exceeds the 16 MB scoped
+                   # VMEM limit for the fused assemble+factor kernel
 
 
 def _tb(batch: int) -> int:
@@ -182,6 +182,152 @@ def factor_lanes(Ad, Bd, Qb, Rb, M):
 
     unl = lambda x: jnp.moveaxis(x[..., :Bsz], -1, 0)
     return unl(Huinv), unl(G), unl(W)
+
+
+def _assemble_factor_kernel(c_ref, ct_ref, d_ref, dt_ref, ws_ref, wst_ref,
+                            dr_ref, qbd_ref, rbd_ref, a_ref, at_ref, b_ref,
+                            bt_ref, w_ref, huinv_ref, g_ref, mq_ref,
+                            lx_ref, lu_ref, hss_ref, P, P2, MT):
+    """Fused quadform assembly + Riccati factor stage (nu = 2).
+
+    Builds the per-stage Newton blocks from the ROW data directly --
+    Qb = diag(qbd) + C'diag(Dr)C, Rb = diag(rbd) + D'diag(Dr)D,
+    Mq = C'diag(Dr)D, plus the sigma couplings Lx/Lu/Hss -- then runs the
+    factor recursion.  C/D/Ws/Dr are read exactly once per iteration;
+    none of the (N, nx, nx) quadform intermediates ever exist in HBM
+    (the XLA einsum formulation of this assembly measured 15-45x over
+    its HBM speed-of-light: tiny batched matmuls).
+
+    Extra block shapes vs _factor_kernel:
+      c_ref (1, r, nx, TB), ct_ref (1, nx, r, TB), d_ref (1, r, nu, TB),
+      dt_ref (1, nu, r, TB), ws_ref (1, r, ns, TB), wst_ref (1, ns, r, TB),
+      dr_ref (1, r, 1, TB), qbd_ref (1, nx, 1, TB), rbd_ref (1, nu, 1, TB)
+      outputs: mq_ref (1, nx, nu, TB), lx_ref (1, nx, ns, TB),
+               lu_ref (1, nu, ns, TB), hss_ref (1, ns, ns, TB)
+      scratch: MT (nu, nx, TB) -- Mq transpose buffer
+    """
+    i = pl.program_id(1)
+    r = c_ref.shape[1]
+    nx = a_ref.shape[1]
+    nu = b_ref.shape[2]
+    ns = ws_ref.shape[2]
+
+    @pl.when(i == 0)
+    def _():
+        P[:] = jnp.zeros_like(P)
+
+    dr = dr_ref[0]                            # (r, 1, TB)
+    C = c_ref[0]
+    Ct = ct_ref[0]
+    Dd = d_ref[0]
+    Dt = dt_ref[0]
+    CD = C * dr                               # (r, nx, TB)
+    DD = Dd * dr                              # (r, nu, TB)
+    WD = ws_ref[0] * dr                       # (r, ns, TB)
+
+    eye_x = (jax.lax.broadcasted_iota(jnp.int32, (nx, nx, 1), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (nx, nx, 1), 1))
+    eye_u = (jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (nu, nu, 1), 1))
+    Qb = _mm(Ct, CD, r) + jnp.where(eye_x, qbd_ref[0], 0.0)
+    Rb = _mm(Dt, DD, r) + jnp.where(eye_u, rbd_ref[0], 0.0)
+    Mq = _mm(Ct, DD, r)                       # (nx, nu)
+    mq_ref[0] = Mq
+    lx_ref[0] = _mm(Ct, WD, r)
+    lu_ref[0] = _mm(Dt, WD, r)
+    hss_ref[0] = _mm(wst_ref[0], WD, r)
+    for u in range(nu):                       # M' into scratch
+        for j in range(nx):
+            MT[u, j, :] = Mq[j, u, :]
+
+    A = a_ref[0]
+    At = at_ref[0]
+    B = b_ref[0]
+    Bt = bt_ref[0]
+    W = Qb + P[:]
+    V = _mm(W, B, nx) + Mq                    # (nx, nu)
+    Hu = Rb + _mm(Bt, V, nx) + _mm(MT[:], B, nx)
+
+    a = Hu[0, 0, :]
+    b2 = 0.5 * (Hu[0, 1, :] + Hu[1, 0, :])
+    c = Hu[1, 1, :]
+    det = a * c - b2 * b2
+    det = jnp.where((det > 0.0) & (a > 0.0), det, jnp.nan)
+    idet = 1.0 / det
+    huinv_ref[0, 0, 0, :] = c * idet
+    huinv_ref[0, 0, 1, :] = -b2 * idet
+    huinv_ref[0, 1, 0, :] = -b2 * idet
+    huinv_ref[0, 1, 1, :] = a * idet
+
+    Gt = _mm(At, V, nx)
+    for u in range(nu):
+        for j in range(nx):
+            g_ref[0, u, j, :] = Gt[j, u, :]
+
+    KgT = _mm(Gt, huinv_ref[0], nu)
+    GHG = KgT[:, 0:1, :] * g_ref[0][0:1, :, :]
+    for u in range(1, nu):
+        GHG = GHG + KgT[:, u:u + 1, :] * g_ref[0][u:u + 1, :, :]
+    P_new = _mm(At, _mm(W, A, nx), nx) - GHG
+    _sym(P2, P_new, nx)
+    P[:] = P2[:]
+    w_ref[0] = W
+
+
+def assemble_factor_lanes(C, D, Ws, Dr, qb_diag, rb_diag, Ad, Bd):
+    """Fused assembly + factorisation.  C (B,N,r,nx), D (B,N,r,nu),
+    Ws (B,N,r,ns), Dr (B,N,r), qb_diag (B,N,nx), rb_diag (B,N,nu),
+    Ad (B,N,nx,nx), Bd (B,N,nx,nu) ->
+    (Huinv, G, W, Mq, Lx, Lu, Hss (B,N,ns,ns) per-stage)."""
+    Bsz, N, r, nx = C.shape
+    nu = D.shape[-1]
+    ns = Ws.shape[-1]
+    dtype = C.dtype
+    TB = _tb(Bsz)
+
+    def lanes(x):
+        x = jnp.moveaxis(x, 0, -1)
+        pad = (-Bsz) % TB
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        return x
+
+    args = [lanes(v) for v in (
+        C, jnp.swapaxes(C, -1, -2), D, jnp.swapaxes(D, -1, -2),
+        Ws, jnp.swapaxes(Ws, -1, -2), Dr[..., None],
+        qb_diag[..., None], rb_diag[..., None],
+        Ad, jnp.swapaxes(Ad, -1, -2), Bd, jnp.swapaxes(Bd, -1, -2))]
+    Bp = args[0].shape[-1]
+    nb = Bp // TB
+
+    rev = lambda b, i: (N - 1 - i, 0, 0, b)
+    spec = lambda s1, s2: pl.BlockSpec((1, s1, s2, TB), rev,
+                                       memory_space=pltpu.VMEM)
+    in_specs = [spec(r, nx), spec(nx, r), spec(r, nu), spec(nu, r),
+                spec(r, ns), spec(ns, r), spec(r, 1), spec(nx, 1),
+                spec(nu, 1), spec(nx, nx), spec(nx, nx), spec(nx, nu),
+                spec(nu, nx)]
+    out_specs = (spec(nx, nx), spec(nu, nu), spec(nu, nx), spec(nx, nu),
+                 spec(nx, ns), spec(nu, ns), spec(ns, ns))
+    out_shape = tuple(jax.ShapeDtypeStruct((N, s1, s2, Bp), dtype)
+                      for s1, s2 in ((nx, nx), (nu, nu), (nu, nx),
+                                     (nx, nu), (nx, ns), (nu, ns),
+                                     (ns, ns)))
+    W, Huinv, G, Mq, Lx, Lu, Hss = pl.pallas_call(
+        _assemble_factor_kernel,
+        grid=(nb, N),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((nx, nx, TB), dtype),
+                        pltpu.VMEM((nx, nx, TB), dtype),
+                        pltpu.VMEM((nu, nx, TB), dtype)],
+        interpret=_interpret(),
+    )(*args)
+
+    unl = lambda x: jnp.moveaxis(x[..., :Bsz], -1, 0)
+    return (unl(Huinv), unl(G), unl(W), unl(Mq), unl(Lx), unl(Lu),
+            unl(Hss))
 
 
 # ---------------------------------------------------------------------------

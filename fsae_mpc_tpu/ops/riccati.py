@@ -305,6 +305,46 @@ def riccati_apply(fac, Ad, Bd, M, rx, ru, re):
     return _riccati_apply_flat(Huinv, G, W, Ad, Bd, M, rx, ru, re)
 
 
+def _assemble_factor_scan(C, D, Ws, D_r, qb_diag, rb_diag, Ad, Bd):
+    Xq = jnp.einsum("nri,nr,nrj->nij", C, D_r, C)
+    Uq = jnp.einsum("nrk,nr,nrl->nkl", D, D_r, D)
+    Mq = jnp.einsum("nri,nr,nrk->nik", C, D_r, D)
+    Qb = Xq + jax.vmap(jnp.diag)(qb_diag)
+    Rb = Uq + jax.vmap(jnp.diag)(rb_diag)
+    Huinv, G, W = _factor_scan(Ad, Bd, Qb, Rb, Mq)
+    Lx = jnp.einsum("nri,nr,nrj->nij", C, D_r, Ws)
+    Lu = jnp.einsum("nrk,nr,nrj->nkj", D, D_r, Ws)
+    Hss = jnp.einsum("nri,nr,nrj->nij", Ws, D_r, Ws)     # per-stage
+    return Huinv, G, W, Mq, Lx, Lu, Hss
+
+
+@jax.custom_batching.custom_vmap
+def assemble_factor(C, D, Ws, D_r, qb_diag, rb_diag, Ad, Bd):
+    """Quadform assembly + Riccati factorisation in one step.
+
+    Builds Qb = diag(qb_diag) + C'diag(D_r)C, Rb = diag(rb_diag) +
+    D'diag(D_r)D, Mq = C'diag(D_r)D, factors, and returns the sigma
+    couplings (Lx, Lu, per-stage Hss) alongside.  Under ``vmap`` on
+    TPU/f32 the whole thing is ONE fused Pallas sweep that reads the row
+    data exactly once (the XLA einsum assembly measured 15-45x over its
+    HBM speed-of-light -- tiny batched matmuls)."""
+    return _assemble_factor_scan(C, D, Ws, D_r, qb_diag, rb_diag, Ad, Bd)
+
+
+@assemble_factor.def_vmap
+def _assemble_factor_vmap(axis_size, in_batched, *args):
+    args = list(args)
+    for i, batched in enumerate(in_batched):
+        if not batched:
+            args[i] = jnp.broadcast_to(args[i][None],
+                                       (axis_size,) + args[i].shape)
+    if priccati.use_kernel(args[7], args[7]) and args[2].shape[-1] > 0:
+        out = priccati.assemble_factor_lanes(*args)
+    else:
+        out = jax.vmap(_assemble_factor_scan)(*args)
+    return out, (True,) * 7
+
+
 # ---------------------------------------------------------------------------
 # the solver
 # ---------------------------------------------------------------------------
@@ -427,17 +467,12 @@ def solve_stage_qp(qp: StageQP, opts: IpmOptions = IpmOptions(),
     # ---- Newton solve given current diagonal weights ---------------------
     def factor_and_columns(D_r, D_u, D_s, regm):
         """Riccati factorisation + sigma Schur data for one iteration."""
-        Xq = jnp.einsum("nri,nr,nrj->nij", C, D_r, C)
-        Uq = jnp.einsum("nrk,nr,nrl->nkl", D, D_r, D)
-        Mq = jnp.einsum("nri,nr,nrk->nik", C, D_r, D)
         reg = opts.reg * regm * maxdiag
-        Qb = (Xq + jax.vmap(jnp.diag)(Qx) + reg * eye_x)
-        Rb = (Uq + jax.vmap(jnp.diag)(Ru + D_u) + reg * eye_u)
-        fac = riccati_factor(Ad, Bd, Qb, Rb, Mq)
+        Huinv_f, G_f, W_f, Mq, Lx, Lu, Hss_st = assemble_factor(
+            C, D, Ws, D_r, Qx + reg, Ru + D_u + reg, Ad, Bd)
+        fac = (Huinv_f, G_f, W_f)
         if ns:
-            Lx = jnp.einsum("nri,nr,nrj->nij", C, D_r, Ws)   # (N, nx, ns)
-            Lu = jnp.einsum("nrk,nr,nrj->nkj", D, D_r, Ws)   # (N, nu, ns)
-            Hss = (jnp.einsum("nri,nr,nrj->ij", Ws, D_r, Ws)
+            Hss = (jnp.sum(Hss_st, axis=0)
                    + jnp.diag(D_s) + reg * jnp.eye(ns, dtype=dtype))
             rx_c = jnp.moveaxis(Lx, -1, 0)                   # (ns, N, nx)
             ru_c = jnp.moveaxis(Lu, -1, 0)
@@ -472,10 +507,18 @@ def solve_stage_qp(qp: StageQP, opts: IpmOptions = IpmOptions(),
 
     # ---- residuals -------------------------------------------------------
     def residuals(state):
-        (u, x, s, lam, (srl, sru, sul, suu, ssl, ssu),
+        (u, x, s, _, (srl, sru, sul, suu, ssl, ssu),
          (zrl, zru, zul, zuu, zsl, zsu)) = state
         y = rows_of(x, u, s)
         z_r = zrl - zru
+        # lam is ALWAYS the exact adjoint of the current (x, z_r), never a
+        # separately-stepped iterate: stepping lam with the dual step
+        # length leaves an O(step-mismatch) x-stationarity residual that
+        # measurably destabilises the f32 dual residual (it collapses to
+        # ~1e-5 scaled then bounces to ~1e-3 the next iteration).  With
+        # the adjoint, r_dx is ~roundoff and the dual residual is the
+        # REDUCED control gradient -- the dense solver's semantics.
+        lam = adjoint_lam(x, z_r)
         r_du = (Ru * u + ru_lin
                 + jnp.einsum("nik,ni->nk", Bd, lam)
                 - (zul - zuu) - jnp.einsum("nrk,nr->nk", D, z_r))
@@ -577,8 +620,9 @@ def solve_stage_qp(qp: StageQP, opts: IpmOptions = IpmOptions(),
     masks = (mrl, mru, mul, muu, msl, msu)
     if warm is None:
         # Mehrotra-style GLOBAL positive shift, duals on the central path
-        # (s_i z_i = mu0) -- standard for cold starts, where the init
-        # solve's violations are moderate and shared.
+        # (s_i z_i = mu0) -- standard for cold starts (a per-element
+        # floor was measured WORSE cold: 5.2 vs 1.9 first-control error
+        # on f32 production QPs).
         smin = jnp.minimum(
             jnp.minimum(jnp.minimum(jnp.min(raw[0]), jnp.min(raw[1])),
                         jnp.minimum(jnp.min(raw[2]), jnp.min(raw[3]))),
@@ -774,8 +818,9 @@ def solve_stage_qp(qp: StageQP, opts: IpmOptions = IpmOptions(),
     state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(final_better, a, b), state, best)
 
-    (u, x, s, lam, S, Z) = state
+    (u, x, s, _, S, Z) = state
     zrl, zru, zul, zuu, zsl, zsu = Z
+    lam = adjoint_lam(x, zrl - zru)
     r_du, r_dx, r_ds, r_eq, rp = residuals(state)
     obj = (0.5 * jnp.sum(qp.Qx * x * x) + jnp.sum(qp.qx * x)
            + 0.5 * jnp.sum(qp.Ru * u * u) + jnp.sum(qp.ru * u)

@@ -55,6 +55,10 @@ class SimConfig:
     mpc: MPCParams = MPCParams()
     ipm: ipm.IpmOptions = ipm.IpmOptions()
     slack_eps: float = 1e-6         # slack-activation threshold (MATLAB: != 0)
+    qp_backend: str = "dense"       # LTV QP backend: "dense" (condensed
+                                    # IPM, ops/ipm.py) | "riccati"
+                                    # (uncondensed stage-wise IPM,
+                                    # ops/riccati.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,7 +169,8 @@ def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
         base_ltv = ltv.ltv_mpc_kinematic if kinematic else ltv.ltv_mpc_dynamic
         solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts,
                   warm=None: base_ltv(x0, x_ref, track, params, mpc, x_lin,
-                                      u_lin, opts, warm=warm))
+                                      u_lin, opts, warm=warm,
+                                      backend=cfg.qp_backend))
     elif cfg.mode == "ms-nmpc":
         base = sqp.ms_nmpc_kinematic if kinematic else sqp.ms_nmpc_dynamic
         solver = (lambda x0, x_ref, track, params, mpc, x_lin, u_lin, opts,

@@ -97,8 +97,17 @@ def gen():
     ref = jax.jit(jax.vmap(lambda *a: ipm.solve_qp(*a, o64)))(
         *[jnp.asarray(a) for a in (H, g, A, lb, ub, lbA, ubA)])
     assert float(ref.primal_res.max()) < 1e-10
+    # the SAME ticks as an uncondensed stage QP (for the Riccati backend)
+    sqp, _ = jax.jit(jax.vmap(
+        lambda a, b, c, d: ltv.build_stage_qp_dynamic(
+            a, b, track, params, mpc, c, d)))(x0_t, x_ref_t, x_lin_t,
+                                              u_lin_t)
+    stage = {"s_" + k: np.asarray(getattr(sqp, k), np.float64)
+             for k in ["Ad", "Bd", "dd", "x0", "Qx", "qx", "Ru", "ru",
+                       "g_s", "C", "D", "Ws", "lbA", "ubA", "u_lb",
+                       "u_ub", "s_lb", "s_ub"]}
     np.savez(NPZ, H=H, g=g, A=A, lb=lb, ub=ub, lbA=lbA, ubA=ubA,
-             x64=np.asarray(ref.x))
+             x64=np.asarray(ref.x), **stage)
     print(f"wrote {NPZ}: {BATCH} production QPs + f64 reference")
 
 
@@ -137,6 +146,28 @@ def solve():
                "mean_control_err": float(du.mean()),
                "p99_control_err": float(np.quantile(du, 0.99)),
                "max_feas_violation": float(viol)}
+        out["results"].append(row)
+        print(row, flush=True)
+
+    # ---- Riccati backend on the same ticks, across iteration budgets ----
+    from fsae_mpc_tpu.ops import riccati
+    sfields = ["Ad", "Bd", "dd", "x0", "Qx", "qx", "Ru", "ru", "g_s",
+               "C", "D", "Ws", "lbA", "ubA", "u_lb", "u_ub", "s_lb",
+               "s_ub"]
+    sqp = riccati.StageQP(**{k: jnp.asarray(z["s_" + k], jnp.float32)
+                             for k in sfields})
+    for iters in (12, 16, 20, 24, 32):
+        opts = dataclasses.replace(ipm.F32_OPTS, max_iters=iters)
+        sol = jax.jit(jax.vmap(
+            lambda q: riccati.solve_stage_qp(q, opts)))(sqp)
+        u = np.asarray(sol.u, np.float64).reshape(len(x64), -1)
+        du = np.abs(u - x64[:, :N2])
+        row = {"preset": f"RICCATI,{iters}it",
+               "first_control_max_err": float(du[:, :2].max()),
+               "mean_control_err": float(du.mean()),
+               "p99_control_err": float(np.quantile(du, 0.99)),
+               "max_feas_violation": float(np.asarray(
+                   sol.primal_res).max())}
         out["results"].append(row)
         print(row, flush=True)
     with open("ACCURACY_TPU.json", "w") as f:
