@@ -96,73 +96,6 @@ def _qp_cost(A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
 
 
 @_highest_precision
-def assemble_condensed_qp_structured(A_bar, B_bar, d_bar, x0, x_ref, q_diag,
-                                     r_diag, r_soft: Sequence[float], groups,
-                                     u_lb, u_ub):
-    """Structured-rows variant of :func:`assemble_condensed_qp`.
-
-    Returns (H, g, A: StageRows, lb, ub, lbA, ubA, const).  Requires every
-    group to be stage-aligned (``state_rows == ctrl_cols == arange(N)``),
-    which holds for the LTV controllers: each row at stage s then is a
-    combination of B_bar[s], the stage's own control columns and the slack
-    columns, so the IPM never materialises the (800, 84) dense A (see
-    ops/structured.py).  Row ordering is stage-major (all of stage 0's
-    rows first), unlike the dense group-major variant.
-    """
-    from ..ops.structured import StageRows
-
-    N, nx, NCnu = B_bar.shape
-    nu = u_lb.shape[1]
-    n_soft = len(r_soft)
-    dtype = B_bar.dtype
-    H, g, lb_v, ub_v, const, x_pred = _qp_cost(
-        A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, r_soft, u_lb, u_ub)
-
-    Vb_parts, Vu_parts, Vs_parts, lo_parts, hi_parts = [], [], [], [], []
-
-    def emit(C, D, offset, lo, hi, slack_col, sign):
-        r = C.shape[1]
-        Vs = np.zeros((r, n_soft), np.float64)
-        if slack_col is not None:
-            Vs[np.arange(r), slack_col] = sign
-        Vb_parts.append(C)
-        Vu_parts.append(D)
-        Vs_parts.append(jnp.broadcast_to(jnp.asarray(Vs, dtype),
-                                         (N, r, n_soft)))
-        lo_parts.append(jnp.asarray(lo, dtype)[None, :] - offset)
-        hi_parts.append(jnp.asarray(hi, dtype)[None, :] - offset)
-
-    for grp in groups:
-        Ng, r, _ = grp.C.shape
-        if (Ng != N or not np.array_equal(grp.state_rows, np.arange(N))
-                or not np.array_equal(grp.ctrl_cols, np.arange(N))):
-            raise ValueError("structured assembly requires stage-aligned "
-                             "groups; use assemble_condensed_qp")
-        offset = grp.offset_const + jnp.einsum("nri,ni->nr", grp.C, x_pred)
-        lb_g = np.broadcast_to(grp.lb, (r,))
-        ub_g = np.broadcast_to(grp.ub, (r,))
-        sidx = np.broadcast_to(grp.slack_idx, (r,))
-        hard = sidx < 0
-        if np.all(hard):
-            emit(grp.C, grp.D, offset, lb_g, ub_g, None, 0.0)
-        else:
-            assert not np.any(hard), "mix of hard/soft rows within a group"
-            inf_v = np.full((r,), np.inf)
-            if np.all(np.isfinite(lb_g)):
-                emit(grp.C, grp.D, offset, lb_g, inf_v, sidx, +1.0)
-            if np.all(np.isfinite(ub_g)):
-                emit(grp.C, grp.D, offset, -inf_v, ub_g, sidx, -1.0)
-
-    A = StageRows(V_b=jnp.concatenate(Vb_parts, axis=1),
-                  V_u=jnp.concatenate(Vu_parts, axis=1),
-                  V_s=jnp.concatenate(Vs_parts, axis=1),
-                  B7=B_bar)
-    lbA = jnp.concatenate(lo_parts, axis=1).reshape(-1)
-    ubA = jnp.concatenate(hi_parts, axis=1).reshape(-1)
-    return H, g, A, lb_v, ub_v, lbA, ubA, const
-
-
-@_highest_precision
 def assemble_gen_dynamic(A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
                          r_soft: Sequence[float], track, params, mpc,
                          x_lin, u_lin, u_lb, u_ub):
@@ -596,11 +529,10 @@ def build_qp_dynamic(x0, x_ref, track, params: VehicleParams,
 
     Returns ``((H, g, A, lb, ub, lbA, ubA, const), (Ad, Bd, dd))`` -- the
     condensed QP plus the discrete linearisation (needed to recover the
-    predicted states from the control solution).  ``structured=True``
-    returns A as an :class:`ops.structured.StageRows` (avoids
-    materialising the (800, 84) dense A; measured slower than dense on
-    the chip at batch 1024 -- see AB_STRUCTURED.json -- so off by
-    default).
+    predicted states from the control solution).  ``structured="gen"``
+    returns A as an :class:`ops.structured.GenRows` (generator-factored;
+    wins for the F32_ACCURATE preset, loses for the throughput presets
+    -- AB_STRUCTURED.json / PERF_VARIANTS.json -- so off by default).
     """
     N = mpc.n_steps
     dtype = x_lin.dtype
@@ -623,9 +555,11 @@ def build_qp_dynamic(x0, x_ref, track, params: VehicleParams,
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, r_soft,
             track, params, mpc, x_lin, u_lin, u_lb, u_ub)
     else:
-        assemble = (assemble_condensed_qp_structured if structured
-                    else assemble_condensed_qp)
-        qp = assemble(
+        assert not structured, ("the StageRows structured path was "
+                                "retired in round 4 (lost at every "
+                                "measured operating point); use "
+                                "structured='gen' or the dense default")
+        qp = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, r_soft,
             groups, u_lb, u_ub)
     return qp, (Ad, Bd, dd)

@@ -49,7 +49,7 @@ from jax import lax
 from . import linalg as xlinalg
 from .pallas import chol as pchol
 from .precision import highest as _highest_precision
-from .structured import StageRows, is_structured
+from .structured import is_structured
 
 
 def _mv(A, x):

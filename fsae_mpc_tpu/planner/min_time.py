@@ -24,6 +24,22 @@ N=500 trapezoidal nodes) as SQP loops with **partial condensing**:
   to PSD), replacing IPOPT's L-BFGS model with an exact local model.
 * A 4-point backtracking line search on the exact merit
   (cost + rho |defect|_1) globalises the cold-started iteration.
+
+**Deployment precision (design decision).** The planners run OFFLINE in
+f64 on the host CPU, like the spline fitting (``track/spline.py``): the
+reference runs them once before the lap, commented out of the control
+loop (``main.m:20-22``), and their SQP subproblems use the adaptive f64
+``IpmOptions`` (tol 5e-14) because the s-domain time-transformed defects
+condition the KKT systems orders of magnitude worse than the control-loop
+QPs (the 1/s_dot time change mixes ~1e-3..1e3 scales across a lap).  The
+hot 20 Hz path consumes only the planner's OUTPUT -- the resampled
+reference trajectory (``planner/reference.py``), a plain array that casts
+to f32 losslessly for on-chip tracking (RICCATI_VALIDATION.json /
+LAPS_TPU.json raceline rows).  Running the planner itself in f32 on chip
+was considered and rejected: it is not latency-critical (once per track),
+and f32 would force the same accuracy machinery (delta-form restarts,
+compensated residuals) the control loop needed, for no deployment
+benefit.
 """
 
 from __future__ import annotations

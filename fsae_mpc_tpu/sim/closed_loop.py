@@ -308,6 +308,54 @@ def simulate(track, params: VehicleParams = VehicleParams(),
     return _summarise(tr, cfg, params, track.px.dtype)
 
 
+def simulate_chunked(track, params, cfg: SimConfig, chunk_ticks: int = 100,
+                     batched: bool = True) -> SimOutputs:
+    """Batched :func:`simulate` split into host-dispatched scan chunks.
+
+    The axon-tunnel TPU backend caps single-dispatch execution time: one
+    600-tick scan at pod batch (3 x 4096 scenarios) dies with a device
+    error, while the same work in 100-tick chunks runs fine (measured,
+    scripts/pod_scale.py).  Each chunk is one jitted ``lax.scan`` segment
+    whose carry is threaded through the host; the per-tick outputs stay
+    on device and are concatenated before the single metric summary.
+
+    ``track``/``params`` carry a leading batch axis when ``batched``.
+    ``cfg.n_ticks`` is rounded up to a multiple of ``chunk_ticks``.
+    """
+    n_chunks = -(-cfg.n_ticks // chunk_ticks)
+
+    def init_fn(tr, pr):
+        _, c0 = _build_tick(tr, pr, cfg, None, None)
+        return c0
+
+    def chunk_fn(tr, pr, carry):
+        tick, _ = _build_tick(tr, pr, cfg, None, None)
+        return lax.scan(tick, carry, None, length=chunk_ticks)
+
+    dtype = jax.tree_util.tree_leaves(track)[0].dtype
+
+    def summ_fn(tr_out, pr):
+        return _summarise(tr_out, cfg, pr, dtype)
+
+    if batched:
+        init_fn = jax.vmap(init_fn)
+        chunk_fn = jax.vmap(chunk_fn)
+        summ_fn = jax.vmap(summ_fn)
+    init_j = jax.jit(init_fn)
+    chunk_j = jax.jit(chunk_fn)
+
+    carry = init_j(track, params)
+    outs = []
+    for _ in range(n_chunks):
+        carry, out = chunk_j(track, params, carry)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        outs.append(out)
+    axis = 1 if batched else 0
+    tr = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=axis), *outs)
+    return jax.jit(summ_fn)(tr, params)
+
+
 def simulate_timed(track, params: VehicleParams = VehicleParams(),
                    cfg: SimConfig = SimConfig(), x_init=None, plan=None):
     """Host-stepped :func:`simulate` that wall-clock-times every control

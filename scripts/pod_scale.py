@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--ticks", type=int, default=1000)
     ap.add_argument("--horizon", type=int, default=40)
     ap.add_argument("--model", default="dynamic")
+    ap.add_argument("--backend", default="riccati",
+                    help="LTV QP backend (riccati | dense)")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +51,8 @@ def main():
     cfg = SimConfig(model=args.model,
                     mpc=(MPC_F32 if on_tpu else MPCParams()),
                     ipm=(ipm.F32_OPTS if on_tpu else ipm.IpmOptions()),
-                    n_ticks=args.ticks)
+                    n_ticks=args.ticks,
+                    qp_backend=args.backend)
     cfg = cfg.__class__(**{**cfg.__dict__,
                            "mpc": cfg.mpc.__class__(
                                **{**cfg.mpc.__dict__,
@@ -62,18 +65,15 @@ def main():
         lambda x: jnp.repeat(x, B, axis=0), track_batch)
 
     mesh = make_mesh()
-    sh = NamedSharding(mesh, P(BATCH_AXIS))
-
-    def one(track, p):
-        return simulate(track, p, cfg)
-
-    fn = jax.jit(jax.vmap(one), in_shardings=(sh, sh),
-                 out_shardings=sh)
     track_rep = shard_batch(track_rep, mesh)
     params = shard_batch(params, mesh)
 
+    # chunked host-dispatched scan: the tunnel backend caps single-
+    # dispatch execution time (one 600-tick scan at pod batch dies with
+    # a TPU device error; 100-tick chunks run fine -- measured)
+    from fsae_mpc_tpu.sim.closed_loop import simulate_chunked
     t0 = time.time()
-    out = fn(track_rep, params)
+    out = simulate_chunked(track_rep, params, cfg, chunk_ticks=100)
     jax.block_until_ready(out.lap_time)
     dt = time.time() - t0
 
@@ -81,6 +81,8 @@ def main():
     done = jax.device_get(out.lap_done)
     print(json.dumps({
         "scenarios": 3 * B,
+        "backend": args.backend,
+        "ticks": args.ticks,
         "devices": mesh.devices.size,
         "wall_s": round(dt, 1),
         "laps_done_frac": float(done.mean()),

@@ -1,0 +1,76 @@
+"""Real-time-iteration (RTI) NMPC: latency + lap quality on the chip.
+
+VERDICT round 3 asked for an NMPC real-time story: the measured on-chip
+NMPC tick times ran 2-4.5x over the reference's 50 ms control budget
+(``main.m:37``).  The RTI configuration is ``SimConfig(sqp_iters=1)``:
+one SQP subproblem per tick, linearised at the SHIFT-INITIALISED
+previous solution (``mpc/sqp.py:shift_trajectory`` -- the reference's own
+NMPC warm start, ``rk2_nmpc_dynamic_curvilinear.m:62-65``), which unlike
+the rejected across-tick IPM warm start is self-consistent: the
+linearisation point and the initial iterate are the same trajectory.
+
+For each config this runs a full lap-terminated closed-loop sim with the
+host-stepped timed driver (one dispatch per control period, like
+LAPS_TPU.json) and records BOTH the per-tick latency percentiles and the
+lap metric block -- so the artifact shows what one SQP iteration costs in
+lap quality next to what it buys in latency.  Tunnel note: each tick time
+includes the ~13 ms host round trip; on-device latency is lower.
+
+Writes RTI.json.  Run ON THE CHIP: python scripts/rti_bench.py
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+    from fsae_mpc_tpu.config import MPC_F32, VehicleParams
+    from fsae_mpc_tpu.ops import ipm
+    from fsae_mpc_tpu.sim.closed_loop import SimConfig, simulate_timed
+    from fsae_mpc_tpu.track import load_track
+
+    track, _ = load_track("data/fsg2019.csv", dtype=jnp.float32)
+    params = VehicleParams()
+    configs = [
+        ("ms-nmpc", 3), ("ms-nmpc", 1),
+        ("c-nmpc", 3), ("c-nmpc", 1),
+    ]
+    rows = []
+    for mode, iters in configs:
+        cfg = SimConfig(model="dynamic", mode=mode, n_ticks=1000,
+                        mpc=MPC_F32, ipm=ipm.F32_ACCURATE,
+                        sqp_iters=iters)
+        t0 = time.time()
+        out, timing = simulate_timed(track, params, cfg)
+        row = dict(
+            mode=mode, sqp_iters=iters, track="fsg2019", model="dynamic",
+            lap_done=bool(out.lap_done),
+            lap_time=round(float(out.lap_time), 3),
+            track_violation=round(float(out.track_violation), 5),
+            max_track_violation=round(float(out.max_track_violation), 4),
+            tyre_violation=round(float(out.tyre_violation), 5),
+            slack_n_frac=round(float(out.slack_n_frac), 4),
+            tick_time_mean_s=round(timing["tick_time_mean_s"], 5),
+            tick_time_median_s=round(timing["tick_time_median_s"], 5),
+            tick_time_p99_s=round(timing["tick_time_p99_s"], 5),
+            within_budget=bool(timing["tick_time_p99_s"] <= 0.05),
+            wall_s=round(time.time() - t0, 1))
+        rows.append(row)
+        print(row, flush=True)
+    with open("RTI.json", "w") as fh:
+        json.dump({"budget_s": 0.05,
+                   "note": "tick times include the axon-tunnel host round "
+                           "trip (~13 ms); device-only latency is lower",
+                   "rows": rows}, fh, indent=1)
+    print("wrote RTI.json")
+
+
+if __name__ == "__main__":
+    main()

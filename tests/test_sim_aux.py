@@ -63,19 +63,36 @@ def test_batched_sim_two_scenarios():
 
 def test_raceline_tracking_sim():
     """Closed loop tracking a dynamic-planner raceline (the reference's
-    commented obtain_reference path, main.m:20-22,115)."""
+    commented obtain_reference path, main.m:20-22,115): the car must make
+    sustained progress along the plan, stay NEAR the planned raceline
+    (bounded lateral deviation), and reach plan-level speeds.  Full-lap
+    completion and the raceline-vs-speed-ramp lap-time comparison are the
+    committed RACELINE.json artifact (scripts/raceline_laps.py); this
+    test keeps the suite fast with a 150-tick (7.5 s) window."""
     from fsae_mpc_tpu.planner import minimum_time_planner_dynamic
     track, _ = load_track("data/fsg2019.csv", dtype=jnp.float64)
-    plan = minimum_time_planner_dynamic(track, VehicleParams(), n_nodes=64,
-                                        iters=15)
-    cfg = SimConfig(model="dynamic", n_ticks=30, reference="raceline",
-                    mpc=MPCParams(n_steps=12))
+    plan = minimum_time_planner_dynamic(track, VehicleParams(), n_nodes=96,
+                                        iters=25)
+    n_ticks = 150
+    cfg = SimConfig(model="dynamic", n_ticks=n_ticks, reference="raceline",
+                    mpc=MPCParams(n_steps=20))
     out = jax.jit(lambda t, p: simulate(t, p, cfg, plan=plan))(
         track, VehicleParams())
-    x = np.asarray(out.x_history)
+    x = np.asarray(out.x_history)          # curvilinear [s, n, mu, v, ...]
     assert np.all(np.isfinite(x))
-    # car accelerates and makes forward progress along the plan (the
-    # tracking cost weights velocity at 0 -- progress enters via s-error,
-    # so the ramp-up is gentler than speed-ramp mode)
-    assert x[-1, 3] > 0.5
-    assert x[-1, 0] > 0.3
+
+    # sustained progress: at least 25 m of track covered in 7.5 s
+    assert x[-1, 0] > 25.0
+    # reaches plan-level speed after the standing start
+    v_plan = np.asarray(plan.y_opt[:, 2])  # xd (longitudinal speed)
+    assert x[-1, 3] > 0.5 * v_plan.mean()
+    # bounded deviation from the PLANNED raceline: after the launch
+    # transient, lateral offset within the track half-width of the
+    # plan's n(s) at the same arc position
+    L = float(track.L)
+    ds = L / plan.y_opt.shape[0]
+    s_nodes = ds * np.arange(plan.y_opt.shape[0])
+    n_plan = np.asarray(plan.y_opt[:, 0])
+    tail = x[n_ticks // 2:]
+    n_interp = np.interp(tail[:, 0] % L, s_nodes, n_plan, period=L)
+    assert np.max(np.abs(tail[:, 1] - n_interp)) < 0.75
