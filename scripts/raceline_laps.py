@@ -67,19 +67,30 @@ def main():
                                                           adaptive=False)
     params = VehicleParams()
 
+    from fsae_mpc_tpu.planner.min_time import PlannerResult
     for name in tracks:
         # the PLANNER always runs host-side f64 (design decision,
-        # planner/min_time.py docstring); only its output is cast
-        track64, _ = load_track(f"data/{name}.csv", dtype=jnp.float64)
+        # planner/min_time.py docstring); only its output is cast.  The
+        # TPU phase LOADS the plan the CPU phase saved (f64 planning
+        # cannot run on the chip).
+        cache = f"/tmp/raceline_plan_{name}.npz"
         t0 = time.time()
         if not ON_TPU:
+            track64, _ = load_track(f"data/{name}.csv",
+                                    dtype=jnp.float64)
             plan = minimum_time_planner_dynamic(track64, params,
                                                 n_nodes=160, iters=40)
+            np.savez(cache, **{f: np.asarray(getattr(plan, f))
+                               for f in ("y_opt", "u_opt", "t_node",
+                                         "lap_time", "slack", "merit",
+                                         "defect_norm")})
         else:
-            jax.config.update("jax_enable_x64", True)
-            plan = minimum_time_planner_dynamic(track64, params,
-                                                n_nodes=160, iters=40)
-            jax.config.update("jax_enable_x64", False)
+            z = np.load(cache)
+            plan = PlannerResult(**{f: jnp.asarray(z[f], jnp.float64)
+                                    if False else jnp.asarray(z[f])
+                                    for f in ("y_opt", "u_opt", "t_node",
+                                              "lap_time", "slack",
+                                              "merit", "defect_norm")})
         plan_wall = time.time() - t0
         t_lap_pred = float(plan.lap_time)
         plan_c = jax.tree_util.tree_map(
