@@ -912,6 +912,19 @@ F32_ACCURATE = IpmOptions(max_iters=16, tol=5e-7, reg=1e-7, adaptive=False,
                           scale_kkt=True, comp_resid=True,
                           refine_restart=1, refine_iters=8)
 
+# middle of the measured accuracy/throughput frontier (round 4,
+# PRESET_MAP.json): ONE cheap delta-form restart round on top of
+# F32_OPTS.  On production QPs vs tight f64: first-control max 8.8e-3,
+# mean 5.8e-4, p99 9.2e-3 (MEETS the BASELINE accuracy bars) at 4,906
+# solves/s on the chip -- 2.9x F32_ACCURATE's throughput at ~3x its
+# error.  The full frontier measurement (single-ingredient variants all
+# mapped; scale_kkt / comp_resid / polish alone do NOT move the
+# first-control error -- only the delta-form restart does) is the
+# committed PRESET_MAP.json.
+F32_BALANCED = IpmOptions(max_iters=12, tol=5e-7, reg=1e-7, adaptive=False,
+                          freeze=(1e-4, 1e-5, 1e-7),
+                          refine_restart=1, refine_iters=4)
+
 
 solve_qp_batched = jax.vmap(
     solve_qp, in_axes=(0, 0, 0, 0, 0, 0, 0, None), out_axes=0)
