@@ -78,24 +78,31 @@ def test_raceline_tracking_sim():
                     mpc=MPCParams(n_steps=20))
     out = jax.jit(lambda t, p: simulate(t, p, cfg, plan=plan))(
         track, VehicleParams())
-    x = np.asarray(out.x_history)          # curvilinear [s, n, mu, v, ...]
+    x = np.asarray(out.x_history)       # Cartesian plant [x, y, th, xd..]
+    n_hist = np.asarray(out.n_history)  # lateral offset per tick
     assert np.all(np.isfinite(x))
 
-    # sustained progress: at least 25 m of track covered in 7.5 s
-    assert x[-1, 0] > 25.0
+    dt = cfg.mpc.dt
+    v = x[:, 3]
+    # sustained progress: at least 25 m covered in 7.5 s
+    progress = np.cumsum(v) * dt
+    assert progress[-1] > 25.0
     # reaches plan-level speed after the standing start
     v_plan = np.asarray(plan.y_opt[:, 2])  # xd (longitudinal speed)
-    assert x[-1, 3] > 0.5 * v_plan.mean()
-    # bounded deviation from the PLANNED raceline: after the launch
-    # transient, lateral offset within the track half-width of the
-    # plan's n(s) at the same arc position
+    assert v[-1] > 0.5 * v_plan.mean()
+    # bounded deviation from the PLANNED raceline after the launch
+    # transient: the car stays inside the track while following the
+    # plan's n(s) (arc position approximated by integrated speed --
+    # adequate at |n| << track scale)
     L = float(track.L)
     ds = L / plan.y_opt.shape[0]
     s_nodes = ds * np.arange(plan.y_opt.shape[0])
     n_plan = np.asarray(plan.y_opt[:, 0])
-    tail = x[n_ticks // 2:]
-    n_interp = np.interp(tail[:, 0] % L, s_nodes, n_plan, period=L)
-    assert np.max(np.abs(tail[:, 1] - n_interp)) < 0.75
+    half = n_ticks // 2
+    n_tail = n_hist[half:]
+    assert np.max(np.abs(n_tail)) < 0.85       # on track
+    n_interp = np.interp(progress[half:] % L, s_nodes, n_plan, period=L)
+    assert np.mean(np.abs(n_tail - n_interp)) < 0.35
 
 
 def test_simulate_chunked_matches_scan():
