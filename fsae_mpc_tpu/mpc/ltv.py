@@ -555,10 +555,11 @@ def build_qp_dynamic(x0, x_ref, track, params: VehicleParams,
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, r_soft,
             track, params, mpc, x_lin, u_lin, u_lb, u_ub)
     else:
-        assert not structured, ("the StageRows structured path was "
-                                "retired in round 4 (lost at every "
-                                "measured operating point); use "
-                                "structured='gen' or the dense default")
+        if structured:
+            raise ValueError(
+                "the StageRows structured path was retired in round 4 "
+                "(lost at every measured operating point); use "
+                "structured='gen' or the dense default")
         qp = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, r_soft,
             groups, u_lb, u_ub)
@@ -578,13 +579,14 @@ def ltv_mpc_dynamic(x0, x_ref, track, params: VehicleParams,
     slacks weighted [1e8, 1e6, 1e6, 1e4] for track / rear-slip / front-slip
     / friction-polygon softening.)  ``x_ref``: (N, 7) time-major.
 
-    ``structured=True`` keeps the 800 constraint rows in the stage-basis
-    representation through the IPM (same solution: tests/test_structured.py
-    checks dense-vs-structured solve equality).  Measured ON THE CHIP at
-    the production batch size it is SLOWER than the dense path (see
-    AB_STRUCTURED.json), so dense is the default.  Note the structured
-    dual vector (``res.qp.z_rows``) is ordered stage-major, so warm starts
-    must come from a same-layout solve.
+    ``structured="gen"`` keeps the 800 constraint rows in the
+    generator-factored representation through the IPM (same solution:
+    tests/test_structured.py checks dense-vs-structured solve equality);
+    it wins only for the F32_ACCURATE preset (AB_STRUCTURED.json /
+    PERF_VARIANTS.json), so dense is the default.  The retired round-3
+    StageRows path (``structured=True``) now raises ValueError.  Note the
+    structured dual vector (``res.qp.z_rows``) is ordered stage-major, so
+    warm starts must come from a same-layout solve.
     """
     if backend == "riccati":
         return ltv_mpc_dynamic_riccati(x0, x_ref, track, params, mpc,

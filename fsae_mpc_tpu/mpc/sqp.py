@@ -35,8 +35,9 @@ from ..models import curvilinear as cm
 from ..models import integrators
 from ..ops.condense import condense, rollout
 from ..ops import ipm
+from ..ops import riccati
 from . import constraints as cons
-from .ltv import assemble_condensed_qp, _control_bounds
+from .ltv import assemble_condensed_qp, build_stage_qp, _control_bounds
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,11 +100,50 @@ def _nmpc_weights(mpc: MPCParams, nx, N, dtype):
     return q_diag, r_diag
 
 
+def _align_prestep_group(grp, Ad, Bd, dd, x0):
+    """Re-express a pre-step-state constraint group in the stage-aligned
+    basis required by the stage-wise Riccati solver -- EXACTLY.
+
+    The MS-NMPC friction rows constrain the step's ORIGIN state with the
+    step's control (row k touches (x_k, u_k); ``state_rows = [-1,
+    0..N-2]``, ``rk2_nmpc_dynamic_curvilinear.m:102-113``), while the
+    stage solver's rows read C x_{k+1} + D u_k.  Substituting the (QP-
+    exact) dynamics equality  x_k = Ad_k^{-1} (x_{k+1} - Bd_k u_k - dd_k)
+    gives the same affine row on the (x_{k+1}, u_k) pair:
+
+        C' = C Ad^{-1},  D' = D - C' Bd,  offset' = offset - C' dd.
+
+    Row 0's origin state is the FIXED x0, so its C row folds into the
+    offset.  The feasible set is unchanged (the substitution holds on
+    every QP-feasible point), so the stage QP's minimiser equals the
+    condensed QP's.
+    """
+    N = Ad.shape[0]
+    exp = (np.array_equal(grp.state_rows,
+                          np.concatenate([[-1], np.arange(N - 1)]))
+           and np.array_equal(grp.ctrl_cols, np.arange(N)))
+    if not exp:
+        raise ValueError("_align_prestep_group expects rows on the "
+                         "pre-step state: state_rows = [-1, 0..N-2]")
+    Cp = jnp.swapaxes(
+        jnp.linalg.solve(jnp.swapaxes(Ad, -1, -2),
+                         jnp.swapaxes(grp.C, -1, -2)), -1, -2)
+    Dp = grp.D - jnp.einsum("nri,nik->nrk", Cp, Bd)
+    off = grp.offset_const - jnp.einsum("nri,ni->nr", Cp, dd)
+    Cp = Cp.at[0].set(0.0)
+    Dp = Dp.at[0].set(grp.D[0])
+    off = off.at[0].set(grp.offset_const[0] + grp.C[0] @ x0)
+    return dataclasses.replace(
+        grp, C=Cp, D=Dp, offset_const=off,
+        state_rows=np.arange(N, dtype=np.int32),
+        ctrl_cols=np.arange(N, dtype=np.int32))
+
+
 def ms_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
                       mpc: MPCParams, x_init, u_init,
                       opts: ipm.IpmOptions = ipm.IpmOptions(),
                       stepper: str = "rk2", sqp_iters: int = 3,
-                      warm=None) -> SqpResult:
+                      warm=None, backend: str = "dense") -> SqpResult:
     """Multiple-shooting NMPC, kinematic model.
 
     Equivalent problem to ``{euler,rk2,rk4}_nmpc_kinematic_curvilinear.m``:
@@ -111,12 +151,19 @@ def ms_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
     eliminated by condensing, |n|<=0.75 and |v^2 delta/L|<=5 softened by ONE
     shared slack weighted 1e8 (``:106-113``).  ``x_init/u_init``: SQP
     starting trajectory (use :func:`shift_trajectory` across ticks).
+
+    ``backend="riccati"`` solves every SQP subproblem in its uncondensed
+    stage-wise form (``ops/riccati.py``) -- the constraint groups are
+    stage-aligned already, so the subproblem maps directly onto
+    :func:`mpc.ltv.build_stage_qp`.
     """
     N = mpc.n_steps
     dtype = x_init.dtype
     f = lambda x, u: cm.f_curv_kin(x, u, track, params)
     step = lambda x, u: integrators.STEPPERS[stepper](f, x, u, mpc.dt)
     q_diag, r_diag = _nmpc_weights(mpc, 5, N, dtype)
+    q_vec = jnp.asarray([mpc.q_s, mpc.q_n, mpc.q_mu, 0.0, 0.0], dtype)
+    r_ab = jnp.asarray([mpc.r_a, mpc.r_delta_d], dtype)
     u_lb, u_ub = _control_bounds(mpc, N, dtype)
 
     def sqp_iter(carry, qp_warm):
@@ -128,7 +175,6 @@ def ms_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
         # bias in the defects.
         x_pre = jnp.concatenate([x0[None], x_lin[:-1]], axis=0)
         Ad, Bd, dd = integrators.linearize_discrete(step, x_pre, u_lin)
-        A_bar, B_bar, d_bar = condense(Ad, Bd, dd)
         groups = [
             cons.state_box_group([3, 4], np.array([0.0, -mpc.delta_max]),
                                  np.array([np.inf, mpc.delta_max]),
@@ -138,6 +184,15 @@ def ms_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
                                  x_lin, u_lin),
             cons.kinematic_tyre_group(x_lin, u_lin, mpc, params, slack=0),
         ]
+        if backend == "riccati":
+            qp_s, const = build_stage_qp(
+                x0, x_ref, q_vec, r_ab, [mpc.w_track], groups, mpc,
+                Ad, Bd, dd, u_lb, u_ub)
+            res = riccati.solve_stage_qp(qp_s, opts, warm=qp_warm)
+            u_new = res.u
+            x_new = rollout(Ad, Bd, dd, x0, u_new)
+            return (x_new, u_new), (res.s, res.objective + const, res)
+        A_bar, B_bar, d_bar = condense(Ad, Bd, dd)
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, [mpc.w_track],
             groups, u_lb, u_ub)
@@ -155,7 +210,8 @@ def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
                     mpc: MPCParams, x_init, u_init,
                     opts: ipm.IpmOptions = ipm.IpmOptions(),
                     stepper: str = "rk2", sqp_iters: int = 3,
-                    trust_u=(4.0, 0.3), warm=None) -> SqpResult:
+                    trust_u=(4.0, 0.3), warm=None,
+                    backend: str = "dense") -> SqpResult:
     """Multiple-shooting NMPC, dynamic model.
 
     Equivalent problem to ``{euler,rk2,rk4}_nmpc_dynamic_curvilinear.m``:
@@ -170,12 +226,20 @@ def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
     at u_lin ~ 0, so an unguarded linearised subproblem can command huge
     braking; the trust region keeps the model honest and is inactive at the
     SQP fixed point (no effect on the converged solution).
+
+    ``backend="riccati"``: stage-wise subproblem solves.  The friction
+    rows touch the step's ORIGIN state; :func:`_align_prestep_group`
+    re-expresses them exactly on the (x_{k+1}, u_k) pair, so the stage QP
+    is the SAME subproblem.
     """
     N = mpc.n_steps
     dtype = x_init.dtype
     f = lambda x, u: cm.f_curv_dyn_only(x, u, track, params)
     step = lambda x, u: integrators.STEPPERS[stepper](f, x, u, mpc.dt)
     q_diag, r_diag = _nmpc_weights(mpc, 7, N, dtype)
+    q_vec = jnp.asarray([mpc.q_s, mpc.q_n, mpc.q_mu, 0.0, 0.0, 0.0, 0.0],
+                        dtype)
+    r_ab = jnp.asarray([mpc.r_a, mpc.r_delta_d], dtype)
     inf = np.inf
     u_lb = jnp.tile(jnp.asarray([-inf, -mpc.delta_d_max], dtype), (N, 1))
     u_ub = jnp.tile(jnp.asarray([inf, mpc.delta_d_max], dtype), (N, 1))
@@ -187,7 +251,6 @@ def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
         # origin-state Newton linearisation (see ms_nmpc_kinematic)
         x_pre = jnp.concatenate([x0[None], x_lin[:-1]], axis=0)
         Ad, Bd, dd = integrators.linearize_discrete(step, x_pre, u_lin)
-        A_bar, B_bar, d_bar = condense(Ad, Bd, dd)
         groups = [
             cons.state_box_group([3, 6], np.array([0.0, -mpc.delta_max]),
                                  np.array([np.inf, mpc.delta_max]),
@@ -201,6 +264,16 @@ def ms_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
         tr = jnp.asarray(trust_u, dtype)
         lb_eff = jnp.maximum(u_lb, u_lin - tr)
         ub_eff = jnp.minimum(u_ub, u_lin + tr)
+        if backend == "riccati":
+            groups[2] = _align_prestep_group(groups[2], Ad, Bd, dd, x0)
+            qp_s, const = build_stage_qp(
+                x0, x_ref, q_vec, r_ab, [mpc.w_track, mpc.w_slip], groups,
+                mpc, Ad, Bd, dd, lb_eff, ub_eff)
+            res = riccati.solve_stage_qp(qp_s, opts, warm=qp_warm)
+            u_new = res.u
+            x_new = rollout(Ad, Bd, dd, x0, u_new)
+            return (x_new, u_new), (res.s, res.objective + const, res)
+        A_bar, B_bar, d_bar = condense(Ad, Bd, dd)
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
             [mpc.w_track, mpc.w_slip], groups, lb_eff, ub_eff)

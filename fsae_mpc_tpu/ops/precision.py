@@ -66,6 +66,27 @@ def _dd_add(a, b):
     return hi, lo
 
 
+def fma_add(a, b, c):
+    """Elementwise ``a * b + c`` to ~double-f32 accuracy (broadcasting).
+
+    Dekker two-product for the rounding error of ``a * b`` plus a Knuth
+    two-sum against ``c`` -- the elementwise analogue of
+    :func:`residual_affine`, used for the stage-wise (diagonal-cost)
+    delta-form gradients ``qx + Qx * x_bar`` where the product and the
+    linear term cancel to the small reduced gradient.
+    """
+    import jax.numpy as jnp
+    a, b, c = jnp.broadcast_arrays(a, b, c)
+    a1, a2 = _split(a)
+    b1, b2 = _split(b)
+    p = a * b
+    err = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    s = p + c
+    v = s - p
+    e = (p - (s - v)) + (c - v)
+    return s + (e + err)
+
+
 def residual_affine(M, x, b):
     """Compute ``b + M @ x`` to ~double-f32 accuracy.  Returns (hi, lo).
 

@@ -350,11 +350,13 @@ def _assemble_factor_vmap(axis_size, in_batched, *args):
 # ---------------------------------------------------------------------------
 
 
-# Complementarity-diagonal caps.  The dense solver caps at 1e14/1e7
-# (f64/f32); the Riccati recursion SUBTRACTS near-equal cap-scale terms
-# (P = A'WA - G'Huinv G), so its cancellation error is ~cap * eps and the
-# cap must sit lower to keep the achievable KKT residual near the dense
-# path's (measured sweep in tests/test_riccati.py's tolerances).
+# Complementarity-diagonal caps, kept EQUAL to the dense solver's
+# (1e14/1e7 for f64/f32).  The Riccati recursion subtracts near-equal
+# cap-scale terms (P = A'WA - G'Huinv G), so its cancellation error is
+# ~cap * eps -- but a measured sweep of the f32 cap over 1e4..1e20 moved
+# neither the cold-QP stall nor the warm-chain accuracy (round-4
+# investigation), so the caps stay at the dense values; the f32 accuracy
+# recovery comes from the delta-form restart below instead.
 D_CAP_F64 = 1e14
 D_CAP_F32 = 1e7
 TRACE = False    # debug: per-iteration prints via jax.debug.print
@@ -376,6 +378,84 @@ def _rollout_scan(Ad, Bd, dd, x0, u):
     return xs
 
 
+# IpmOptions fields with no stage-wise analogue: they compensate for the
+# condensed Hessian's conditioning, which the stage-wise KKT system never
+# forms.  Setting any of them non-default with backend="riccati" is a
+# configuration error and fails loudly (a preset/backend mismatch would
+# otherwise silently change accuracy).
+_UNSUPPORTED_STAGE_OPTS = ("polish", "scale_kkt", "comp_resid",
+                           "correctors", "var_scale")
+
+
+def _check_stage_opts(opts: IpmOptions) -> None:
+    defaults = IpmOptions()
+    bad = [f for f in _UNSUPPORTED_STAGE_OPTS
+           if getattr(opts, f) != getattr(defaults, f)]
+    if bad:
+        raise ValueError(
+            f"IpmOptions fields {bad} are condensed-only and have no "
+            "effect in the stage-wise Riccati solver; clear them (the "
+            "supported accuracy refinement here is refine_restart)")
+
+
+def _delta_stage_qp(qp: StageQP, res: StageIpmResult) -> StageQP:
+    """Restate ``qp`` in DELTA FORM about the incumbent ``res``.
+
+    The delta problem's variables are (du, dx, ds) with du = u - u_bar
+    etc.; its data is the residual of the incumbent, evaluated with
+    error-free transforms (``ops.precision``, ~48-bit):
+
+      * dynamics offset  dd <- Ad x_prev + Bd u_bar + dd - x_bar
+        (the incumbent's equality residual; dx_0 = 0),
+      * row bounds shifted by the compensated row values
+        y_bar = C x_bar + D u_bar + Ws s_bar,
+      * cost gradients re-anchored:  qx <- qx + Qx x_bar,
+        ru <- ru + Ru u_bar (g_s is constant -- the slack cost is linear),
+      * variable bounds shifted (exact by Sterbenz for near-active sides).
+
+    At the incumbent the shifted data is SMALL, so the second solve works
+    at full f32 relative precision where the first solve's global
+    objective scale (the 1e8 soft weights divide Ru down to ~1e-7 scaled)
+    had pushed the control curvature below f32 gradient noise.
+    """
+    from .precision import fma_add, residual_affine
+
+    N, r, nx = qp.C.shape
+    ns = qp.g_s.shape[0]
+    dtype = qp.Ad.dtype
+    u, x, s = res.u, res.x, res.s
+
+    def stage_y(C_k, D_k, Ws_k, x_k, u_k):
+        h1, l1 = residual_affine(C_k, x_k, jnp.zeros((r,), dtype))
+        h2, l2 = residual_affine(D_k, u_k, h1)
+        if ns:
+            h2, l3 = residual_affine(Ws_k, s, h2)
+            l2 = l2 + l3
+        return h2, l1 + l2
+
+    y_hi, y_lo = jax.vmap(stage_y)(qp.C, qp.D, qp.Ws, x, u)
+    lbA_d = (qp.lbA - y_hi) - y_lo
+    ubA_d = (qp.ubA - y_hi) - y_lo
+
+    x_prev = jnp.concatenate([qp.x0[None], x[:-1]], axis=0)
+
+    def stage_eq(Ad_k, Bd_k, dd_k, xp_k, u_k, x_k):
+        h1, l1 = residual_affine(Ad_k, xp_k, dd_k)
+        h2, l2 = residual_affine(Bd_k, u_k, h1)
+        return (h2 - x_k) + (l1 + l2)
+
+    dd_d = jax.vmap(stage_eq)(qp.Ad, qp.Bd, qp.dd, x_prev, u, x)
+
+    return dataclasses.replace(
+        qp,
+        dd=dd_d, x0=jnp.zeros_like(qp.x0),
+        qx=fma_add(qp.Qx, x, qp.qx),
+        ru=fma_add(qp.Ru, u, qp.ru),
+        lbA=lbA_d, ubA=ubA_d,
+        u_lb=qp.u_lb - u, u_ub=qp.u_ub - u,
+        s_lb=qp.s_lb - s, s_ub=qp.s_ub - s)
+
+
 @_highest_precision
 def solve_stage_qp(qp: StageQP, opts: IpmOptions = IpmOptions(),
                    warm: "StageIpmResult | None" = None) -> StageIpmResult:
@@ -383,11 +463,93 @@ def solve_stage_qp(qp: StageQP, opts: IpmOptions = IpmOptions(),
 
     Supports the core of :class:`ops.ipm.IpmOptions`: max_iters / tol /
     tau / reg / adaptive / freeze / equilibrate / init ("centered" |
-    "basic") / mu0 / warm_mu0 / warm_floor / correctors=0.  The condensed-
-    only refinements (polish, refine_restart, var_scale, scale_kkt,
-    comp_resid) do not apply -- the stage-wise KKT system never forms the
-    ill-conditioned condensed Hessian those options compensate for.
+    "basic") / mu0 / warm_duals / warm_mu0 / warm_floor, plus
+    ``refine_restart``: after the main solve, ``refine_restart`` rounds
+    re-solve the problem in delta form about the incumbent
+    (:func:`_delta_stage_qp`) with the incumbent's duals reused -- the
+    stage-wise port of the dense solver's delta-form restart, the one
+    ingredient measured to move f32 control accuracy (PRESET_MAP.json).
+    The condensed-only refinements (polish, var_scale, scale_kkt,
+    comp_resid, correctors) raise ValueError when set.
     """
+    _check_stage_opts(opts)
+    if not opts.refine_restart:
+        return _solve_stage_core(qp, opts, warm)
+
+    o1 = dataclasses.replace(opts, refine_restart=0)
+    res = _solve_stage_core(qp, o1, warm)
+    o2 = dataclasses.replace(
+        opts, refine_restart=0, max_iters=opts.refine_iters,
+        warm_duals="reuse", warm_floor=1e-7)
+    ns = qp.g_s.shape[0]
+    # merit weight: the largest unscaled gradient magnitude (the 1e8 soft
+    # slack costs dominate) -- same exact-penalty scale as the dense path
+    W = jnp.maximum(jnp.max(jnp.abs(qp.g_s)) if ns else 0.0,
+                    jnp.maximum(jnp.max(jnp.abs(qp.qx)),
+                                jnp.max(jnp.abs(qp.ru)))) + 1.0
+    for _ in range(int(opts.refine_restart)):
+        dqp = _delta_stage_qp(qp, res)
+        warm2 = dataclasses.replace(
+            res, u=jnp.zeros_like(res.u), x=jnp.zeros_like(res.x),
+            s=jnp.zeros_like(res.s))
+        res2 = _solve_stage_core(dqp, o2, warm=warm2)
+
+        # accept the round only if it improves an exact-penalty merit on
+        # the COMPENSATED delta data (catches both divergence and slack
+        # corruption; mirror of ops.ipm.solve_qp's restart gate)
+        du, dx, ds = res2.u, res2.x, res2.s
+
+        def _viol(du_, dx_, ds_):
+            y = (jnp.einsum("nri,ni->nr", dqp.C, dx_)
+                 + jnp.einsum("nrk,nk->nr", dqp.D, du_))
+            if ns:
+                y = y + jnp.einsum("nrj,j->nr", dqp.Ws, ds_)
+            v = jnp.maximum(jnp.maximum(dqp.lbA - y, y - dqp.ubA), 0.0)
+            v = jnp.max(jnp.where(jnp.isfinite(v), v, 0.0))
+            vu = jnp.maximum(jnp.maximum(dqp.u_lb - du_, du_ - dqp.u_ub),
+                             0.0)
+            v = jnp.maximum(v, jnp.max(jnp.where(jnp.isfinite(vu), vu,
+                                                 0.0)))
+            if ns:
+                vs = jnp.maximum(jnp.maximum(dqp.s_lb - ds_,
+                                             ds_ - dqp.s_ub), 0.0)
+                v = jnp.maximum(v, jnp.max(jnp.where(jnp.isfinite(vs), vs,
+                                                     0.0)))
+            return v
+
+        df = (jnp.sum(dqp.qx * dx) + 0.5 * jnp.sum(dqp.Qx * dx * dx)
+              + jnp.sum(dqp.ru * du) + 0.5 * jnp.sum(dqp.Ru * du * du)
+              + (dqp.g_s @ ds if ns else 0.0))
+        dmerit = df + W * (_viol(du, dx, ds)
+                           - _viol(jnp.zeros_like(du), jnp.zeros_like(dx),
+                                   jnp.zeros_like(ds)))
+        ok = (jnp.all(jnp.stack([jnp.all(jnp.isfinite(v)) for v in
+                                 (du, dx, ds)]))
+              & (dmerit <= 1e-3 * W))
+        pick = lambda a, b: jnp.where(ok, a, b)
+        u_n, x_n, s_n = res.u + du, res.x + dx, res.s + ds
+        obj = (0.5 * jnp.sum(qp.Qx * x_n * x_n) + jnp.sum(qp.qx * x_n)
+               + 0.5 * jnp.sum(qp.Ru * u_n * u_n) + jnp.sum(qp.ru * u_n)
+               + (qp.g_s @ s_n if ns else 0.0))
+        res = StageIpmResult(
+            u=pick(u_n, res.u), x=pick(x_n, res.x), s=pick(s_n, res.s),
+            lam=pick(res2.lam, res.lam),
+            z_u=pick(res2.z_u, res.z_u), z_s=pick(res2.z_s, res.z_s),
+            z_rows=pick(res2.z_rows, res.z_rows),
+            iterations=res.iterations + res2.iterations,
+            mu=pick(res2.mu, res.mu),
+            primal_res=pick(res2.primal_res, res.primal_res),
+            dual_res=pick(res2.dual_res, res.dual_res),
+            objective=pick(obj, res.objective))
+    return res
+
+
+@_highest_precision
+def _solve_stage_core(qp: StageQP, opts: IpmOptions = IpmOptions(),
+                      warm: "StageIpmResult | None" = None
+                      ) -> StageIpmResult:
+    """One plain stage-wise IPM solve (no restart handling; see
+    :func:`solve_stage_qp`)."""
     N, r, nx = qp.C.shape
     nu = qp.Bd.shape[-1]
     ns = qp.g_s.shape[0]
@@ -631,6 +793,24 @@ def solve_stage_qp(qp: StageQP, opts: IpmOptions = IpmOptions(),
         shift = jnp.maximum(-1.5 * smin, 0.0) + 1e-2
         S0 = tuple(jnp.where(mk, rw + shift, 1.0)
                    for mk, rw in zip(masks, raw))
+    elif opts.warm_duals == "reuse":
+        # delta-form restart regime: the warm point (primal 0) is the
+        # incumbent, whose duals are near-optimal for the delta problem --
+        # reuse them with a tiny positivity floor instead of re-centering
+        # (the dense restart's warm_duals="reuse" semantics).  The stored
+        # duals are unscaled; bring them into this solve's scaling.
+        fl = opts.warm_floor
+        S0 = tuple(jnp.where(mk, jnp.maximum(rw, fl), 1.0)
+                   for mk, rw in zip(masks, raw))
+        wz_r = warm.z_rows * c_scale / r_scale
+        wz_u = warm.z_u * c_scale
+        wz_s = warm.z_s * c_scale
+        Z0 = tuple(jnp.where(mk, jnp.maximum(sgn * wz, fl), 0.0)
+                   .astype(dtype)
+                   for mk, wz, sgn in [(mrl, wz_r, 1.0), (mru, wz_r, -1.0),
+                                       (mul, wz_u, 1.0), (muu, wz_u, -1.0),
+                                       (msl, wz_s, 1.0),
+                                       (msu, wz_s, -1.0)])
     else:
         # PER-ELEMENT floor for warm starts: a receding-horizon warm point
         # can violate a single row badly (the shifted trajectory leaving
@@ -641,8 +821,9 @@ def solve_stage_qp(qp: StageQP, opts: IpmOptions = IpmOptions(),
         # primal residual on the violated rows only.
         S0 = tuple(jnp.where(mk, jnp.maximum(rw, 1e-2), 1.0)
                    for mk, rw in zip(masks, raw))
-    Z0 = tuple(jnp.where(mk, mu0 / s_, 0.0).astype(dtype)
-               for mk, s_ in zip(masks, S0))
+    if not (warm is not None and opts.warm_duals == "reuse"):
+        Z0 = tuple(jnp.where(mk, mu0 / s_, 0.0).astype(dtype)
+                   for mk, s_ in zip(masks, S0))
     # consistent multipliers for THIS QP at the initial point (stale /
     # init-solve lam would leave an O(1) x-stationarity residual)
     lam0 = adjoint_lam(x0_, Z0[0] - Z0[1])

@@ -460,14 +460,22 @@ def minimum_time_planner_dynamic(track,
                                  n_nodes: int = 500,
                                  opts: ipm.IpmOptions = ipm.IpmOptions(),
                                  iters: int = 40,
-                                 seg_len: int = 1) -> PlannerResult:
+                                 seg_len: int = 1,
+                                 friction_util: float = 1.0
+                                 ) -> PlannerResult:
     """Dynamic min-time raceline (``dynamic_minimum_time_planner.m``).
 
     Node state [n, mu, x_d, y_d, theta_d, delta] (s removed), controls
     [a, delta_d]; Heun (trapezoidal-predictor) s-domain defects with
-    periodic wrap (``:137-149``); friction-ellipse utilisation <= 0.75
-    softened at w=1e5 and track softening |n| <= 0.5 at w=1e8
-    (``:44-45,158-168``).  Slack order [track, tyre].
+    periodic wrap (``:137-149``); friction-ellipse utilisation <=
+    ``friction_util`` softened at w=1e5 and track softening |n| <= 0.5 at
+    w=1e8 (``:44-45,158-168``).  Slack order [track, tyre].
+
+    ``friction_util``: the reference planner imposes the FULL ellipse
+    (utilisation <= 1) with slacks (``:158-168``); earlier rounds shipped
+    a hard-coded 0.75 margin that cost ~40%% of predicted lap time.  The
+    round-5 sweep (RACELINE_SWEEP.json) measures predicted + tracked lap
+    time per utilisation on fsg2019; 1.0 is the measured-best default.
     """
     dtype = track.px.dtype
     N = n_nodes
@@ -532,7 +540,8 @@ def minimum_time_planner_dynamic(track,
          np.array([-1, -1])),
         (lambda y, u: y[jnp.asarray([0])],
          np.array([-0.5]), np.array([0.5]), np.array([0])),
-        (friction, np.array([-np.inf]), np.array([0.75]), np.array([1])),
+        (friction, np.array([-np.inf]), np.array([float(friction_util)]),
+         np.array([1])),
     ]
     u_lb = jnp.asarray([-10.0, -0.4], dtype)
     u_ub = jnp.asarray([10.0, 0.4], dtype)

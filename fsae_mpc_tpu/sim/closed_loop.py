@@ -59,6 +59,17 @@ class SimConfig:
                                     # IPM, ops/ipm.py) | "riccati"
                                     # (uncondensed stage-wise IPM,
                                     # ops/riccati.py)
+    conv_thresholds: tuple | None = None
+                                    # (pres, mu) bars for the converged /
+                                    # abnormal-exit metric (the analogue of
+                                    # qpOASES exitflag != 0, main.m:209,222).
+                                    # None: per-backend defaults
+                                    # (CONV_THRESHOLDS) -- each backend's
+                                    # f32 residual floor differs (the
+                                    # Riccati recursion's cancellation floor
+                                    # sits above the dense path's), so one
+                                    # global bar misreads the flagship
+                                    # backend as "every tick failed".
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +104,23 @@ jax.tree_util.register_dataclass(
     SimOutputs,
     data_fields=[f.name for f in dataclasses.fields(SimOutputs)],
     meta_fields=[])
+
+
+# Per-backend convergence bars (pres, mu) for the abnormal-exit metric,
+# set just above each backend's measured f32 residual floor on warm
+# production ticks (scripts/riccati_validation.py measures the floors;
+# f64 runs sit far below either bar).  The dense path's f32 floor is
+# ~1e-7 pres; the Riccati backend's sits near ~1e-4 (cancellation in the
+# P recursion, ops/riccati.py D_CAP comment) -- under the old global
+# (1e-6, 1e-3) bar its laps read abnormal_exit_frac=1.0 while producing
+# equal-or-better closed-loop quality (RICCATI_VALIDATION.json).
+CONV_THRESHOLDS = {"dense": (1e-6, 1e-3), "riccati": (2e-3, 1e-3)}
+
+
+def _conv_bars(cfg: "SimConfig"):
+    if cfg.conv_thresholds is not None:
+        return cfg.conv_thresholds
+    return CONV_THRESHOLDS.get(cfg.qp_backend, (1e-6, 1e-3))
 
 
 def _initial_guess(cfg: SimConfig, dtype):
@@ -177,7 +205,7 @@ def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
                   warm=None:
                   base(x0, x_ref, track, params, mpc, *sqp.shift_trajectory(
                       x_lin, u_lin, _step), opts, stepper=cfg.stepper,
-                      sqp_iters=cfg.sqp_iters))
+                      sqp_iters=cfg.sqp_iters, backend=cfg.qp_backend))
     elif cfg.mode == "c-nmpc" and cfg.transcription == "hs":
         if not kinematic:
             raise ValueError("hs transcription is kinematic-only "
@@ -264,7 +292,8 @@ def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
 
         fcr = cm.rear_lateral_force(
             jnp.concatenate([jnp.zeros((3,), dtype), x[3:7]]), params)
-        converged = (res.qp.primal_res < 1e-6) & (res.qp.mu < 1e-3)
+        c_pres, c_mu = _conv_bars(cfg)
+        converged = (res.qp.primal_res < c_pres) & (res.qp.mu < c_mu)
 
         out = dict(
             x=x, u=res.u_opt[0], n=n, obj=res.fval,
@@ -320,8 +349,14 @@ def simulate_chunked(track, params, cfg: SimConfig, chunk_ticks: int = 100,
     on device and are concatenated before the single metric summary.
 
     ``track``/``params`` carry a leading batch axis when ``batched``.
-    ``cfg.n_ticks`` is rounded up to a multiple of ``chunk_ticks``.
+    Chunks run ``ceil(n_ticks / chunk_ticks)`` times; the concatenated
+    traces are trimmed back to exactly ``cfg.n_ticks`` before the metric
+    summary, so results match :func:`simulate` for any ``n_ticks``.
     """
+    if cfg.reference == "raceline":
+        raise ValueError(
+            "simulate_chunked does not thread a planner result; use "
+            "simulate / simulate_timed for raceline-reference configs")
     n_chunks = -(-cfg.n_ticks // chunk_ticks)
 
     def init_fn(tr, pr):
@@ -352,7 +387,9 @@ def simulate_chunked(track, params, cfg: SimConfig, chunk_ticks: int = 100,
         outs.append(out)
     axis = 1 if batched else 0
     tr = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, axis=axis), *outs)
+        lambda *xs: jnp.concatenate(xs, axis=axis)[
+            (slice(None),) * axis + (slice(None, cfg.n_ticks),)],
+        *outs)
     return jax.jit(summ_fn)(tr, params)
 
 

@@ -156,13 +156,24 @@ def solve():
                "s_ub"]
     sqp = riccati.StageQP(**{k: jnp.asarray(z["s_" + k], jnp.float32)
                              for k in sfields})
-    for iters in (12, 16, 20, 24, 32):
-        opts = dataclasses.replace(ipm.F32_OPTS, max_iters=iters)
+    rvariants = [("RICCATI,12it", dataclasses.replace(
+                      ipm.F32_OPTS, max_iters=12)),
+                 ("RICCATI,16it", dataclasses.replace(
+                      ipm.F32_OPTS, max_iters=16)),
+                 ("RICCATI+restart1(4it)", dataclasses.replace(
+                      ipm.F32_OPTS, refine_restart=1, refine_iters=4)),
+                 ("RICCATI+restart1(6it)", dataclasses.replace(
+                      ipm.F32_OPTS, refine_restart=1, refine_iters=6)),
+                 ("RICCATI+restart1(8it)", dataclasses.replace(
+                      ipm.F32_OPTS, refine_restart=1, refine_iters=8)),
+                 ("RICCATI+restart2(4it)", dataclasses.replace(
+                      ipm.F32_OPTS, refine_restart=2, refine_iters=4))]
+    for name, opts in rvariants:
         sol = jax.jit(jax.vmap(
             lambda q: riccati.solve_stage_qp(q, opts)))(sqp)
         u = np.asarray(sol.u, np.float64).reshape(len(x64), -1)
         du = np.abs(u - x64[:, :N2])
-        row = {"preset": f"RICCATI,{iters}it",
+        row = {"preset": name,
                "first_control_max_err": float(du[:, :2].max()),
                "mean_control_err": float(du.mean()),
                "p99_control_err": float(np.quantile(du, 0.99)),

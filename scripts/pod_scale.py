@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--model", default="dynamic")
     ap.add_argument("--backend", default="riccati",
                     help="LTV QP backend (riccati | dense)")
+    ap.add_argument("--ipm", default="f32_opts",
+                    choices=["f32_opts", "restart"],
+                    help="solver preset: f32_opts | restart "
+                         "(+1 delta-form refine round)")
     args = ap.parse_args()
 
     import jax
@@ -48,9 +52,13 @@ def main():
         lambda *xs: jnp.stack(xs), *tracks)
 
     B = args.scenarios
+    import dataclasses as _dc
+    opts_tpu = (ipm.F32_OPTS if args.ipm == "f32_opts"
+                else _dc.replace(ipm.F32_OPTS, refine_restart=1,
+                                 refine_iters=4))
     cfg = SimConfig(model=args.model,
                     mpc=(MPC_F32 if on_tpu else MPCParams()),
-                    ipm=(ipm.F32_OPTS if on_tpu else ipm.IpmOptions()),
+                    ipm=(opts_tpu if on_tpu else ipm.IpmOptions()),
                     n_ticks=args.ticks,
                     qp_backend=args.backend)
     cfg = cfg.__class__(**{**cfg.__dict__,
@@ -79,12 +87,77 @@ def main():
 
     import numpy as np
     lap = jax.device_get(out.lap_time)
-    done = jax.device_get(out.lap_done)
+    done = np.asarray(jax.device_get(out.lap_done))
     tv = np.asarray(jax.device_get(out.track_violation))
     finite = np.isfinite(tv)
+
+    # ---- failure taxonomy (VERDICT r4 #7): classify every non-lapping
+    # scenario.  Device-side reductions first (the full traces are ~1 GB).
+    def _cls(o):
+        xh = o.x_history                              # (T, 7) plant states
+        finite_traj = jnp.all(jnp.isfinite(xh))
+        max_absn = jnp.max(jnp.abs(o.n_history)
+                           * o.active.astype(xh.dtype))
+        speed_end = jnp.hypot(xh[-1, 3], xh[-1, 4])
+        conv0 = o.converged[0]
+        return finite_traj, max_absn, speed_end, conv0
+
+    finite_traj, max_absn, speed_end, conv0 = jax.jit(jax.vmap(_cls))(out)
+    finite_traj = np.asarray(jax.device_get(finite_traj))
+    max_absn = np.asarray(jax.device_get(max_absn))
+    speed_end = np.asarray(jax.device_get(speed_end))
+    conv0 = np.asarray(jax.device_get(conv0))
+
+    fail = ~done
+    nonfinite = fail & ~finite_traj
+    off_track = fail & finite_traj & (max_absn > 1.5)
+    slow = fail & finite_traj & (max_absn <= 1.5) & (speed_end > 1.0)
+    stuck = fail & finite_traj & (max_absn <= 1.5) & (speed_end <= 1.0)
+
+    pget = jax.device_get(params)
+    base = VehicleParams()
+    rel = {k: np.asarray(getattr(pget, k)) / getattr(base, k)
+           for k in ("m", "Iz", "pD")}
+
+    def _param_stats(mask):
+        if not mask.any():
+            return None
+        return {k: {"mean_rel": round(float(rel[k][mask].mean()), 4),
+                    "min_rel": round(float(rel[k][mask].min()), 4),
+                    "max_rel": round(float(rel[k][mask].max()), 4)}
+                for k in rel}
+
+    worst = np.argsort(-max_absn * fail)[:5]
+    failures = {
+        "n_fail": int(fail.sum()),
+        "classes": {
+            "nonfinite": int(nonfinite.sum()),
+            "off_track": int(off_track.sum()),
+            "still_driving_slow": int(slow.sum()),
+            "stuck": int(stuck.sum()),
+        },
+        # tick 0 is COLD for all scenarios: does the cold solve predict
+        # failure?
+        "tick0_converged_frac_lapped": round(float(conv0[done].mean()), 4)
+        if done.any() else None,
+        "tick0_converged_frac_failed": round(float(conv0[fail].mean()), 4)
+        if fail.any() else None,
+        "param_stats_lapped": _param_stats(done),
+        "param_stats_failed": _param_stats(fail),
+        "worst_offenders": [
+            {"idx": int(i), "track": int(i) // B,
+             "max_abs_n": round(float(max_absn[i]), 3),
+             "speed_end": round(float(speed_end[i]), 2),
+             "m_rel": round(float(rel["m"][i]), 4),
+             "Iz_rel": round(float(rel["Iz"][i]), 4),
+             "pD_rel": round(float(rel["pD"][i]), 4)}
+            for i in worst if fail[i]],
+    }
+
     payload = {
         "scenarios": 3 * B,
         "backend": args.backend,
+        "ipm": args.ipm,
         "ticks": args.ticks,
         "devices": mesh.devices.size,
         "wall_s": round(dt, 1),
@@ -101,6 +174,7 @@ def main():
         "track_violation_p95": float(np.percentile(tv[finite], 95)),
         "track_violation_median_lapped": float(
             np.median(tv[done & finite])) if done.any() else None,
+        "failures": failures,
     }
     print(json.dumps(payload))
     with open("POD_SCALE.json", "w") as fh:

@@ -38,7 +38,7 @@ from fsae_mpc_tpu.track import load_track
 NPZ = "/tmp/accuracy_qps.npz"
 
 
-def throughput(opts, batch=1024, n_rep=8):
+def throughput(opts, batch=1024, n_rep=8, backend="dense"):
     dtype = jnp.float32
     mpc = MPC_F32
     track, _ = load_track("data/fsg2019.csv", dtype=dtype)
@@ -59,7 +59,7 @@ def throughput(opts, batch=1024, n_rep=8):
         res = jax.vmap(
             lambda a, b, c, d, w: ltv.ltv_mpc_dynamic(
                 a, b, track, params, mpc, c, d, opts, warm=w,
-                condense="pallas")
+                condense="pallas", backend=backend)
         )(x0, x_ref, x_lin, u_lin, warm)
         x0_next = jax.vmap(step)(x0, res.u_opt[:, 0])
         return (x0_next, res.x_opt, res.u_opt, res.qp), res.u_opt[:, 0]
@@ -68,7 +68,8 @@ def throughput(opts, batch=1024, n_rep=8):
         x_ref = jax.vmap(make_ref)(x0b)
         return jax.vmap(
             lambda a, b, c, d: ltv.ltv_mpc_dynamic(
-                a, b, track, params, mpc, c, d, opts, condense="pallas")
+                a, b, track, params, mpc, c, d, opts, condense="pallas",
+                backend=backend)
         )(x0b, x_ref, x_linb, u_linb)
 
     rng = np.random.default_rng(0)
@@ -106,6 +107,23 @@ def accuracy(opts):
             float(np.quantile(du, 0.99)))
 
 
+def accuracy_riccati(opts):
+    from fsae_mpc_tpu.ops import riccati
+    z = np.load(NPZ)
+    sfields = ["Ad", "Bd", "dd", "x0", "Qx", "qx", "Ru", "ru", "g_s",
+               "C", "D", "Ws", "lbA", "ubA", "u_lb", "u_ub", "s_lb",
+               "s_ub"]
+    sqp = riccati.StageQP(**{k: jnp.asarray(z["s_" + k], jnp.float32)
+                             for k in sfields})
+    x64 = z["x64"]
+    sol = jax.jit(jax.vmap(
+        lambda q: riccati.solve_stage_qp(q, opts)))(sqp)
+    u = np.asarray(sol.u, np.float64).reshape(len(x64), -1)
+    du = np.abs(u - x64[:, :80])
+    return (float(du[:, :2].max()), float(du.mean()),
+            float(np.quantile(du, 0.99)))
+
+
 def main():
     base = ipm.F32_OPTS
     variants = [
@@ -124,6 +142,17 @@ def main():
         ("+restart1(4it)+comp_resid", dataclasses.replace(
             base, refine_restart=1, refine_iters=4, comp_resid=True)),
     ]
+    rvariants = [
+        ("RICCATI", base),
+        ("RICCATI+restart1(4it)", dataclasses.replace(
+            base, refine_restart=1, refine_iters=4)),
+        ("RICCATI+restart1(6it)", dataclasses.replace(
+            base, refine_restart=1, refine_iters=6)),
+        ("RICCATI+restart1(8it)", dataclasses.replace(
+            base, refine_restart=1, refine_iters=8)),
+        ("RICCATI+restart2(4it)", dataclasses.replace(
+            base, refine_restart=2, refine_iters=4)),
+    ]
     out = {"backend": jax.default_backend(),
            "regime": "dense assembly, warm RH ticks batch 1024 "
                      "(throughput) + cold production QPs vs tight f64 "
@@ -134,6 +163,16 @@ def main():
     for name, opts in variants:
         fc, mean, p99 = accuracy(opts)
         sps = throughput(opts)
+        row = {"variant": name, "solves_per_sec": round(sps, 1),
+               "first_control_max_err": fc, "mean_control_err": mean,
+               "p99_control_err": p99,
+               "meets_both_bars": bool(sps >= 10000.0 and fc <= 1e-2
+                                       and mean <= 1e-3)}
+        out["results"].append(row)
+        print(row, flush=True)
+    for name, opts in rvariants:
+        fc, mean, p99 = accuracy_riccati(opts)
+        sps = throughput(opts, backend="riccati")
         row = {"variant": name, "solves_per_sec": round(sps, 1),
                "first_control_max_err": fc, "mean_control_err": mean,
                "p99_control_err": p99,

@@ -38,19 +38,28 @@ def main():
 
     track, _ = load_track("data/fsg2019.csv", dtype=jnp.float32)
     params = VehicleParams()
+    # (mode, sqp_iters, qp_backend).  Dense rows keep round 4's
+    # F32_ACCURATE subproblem preset; riccati rows use the stage-legal
+    # F32_OPTS + one delta-form restart (the round-5 accuracy recipe).
     configs = [
-        ("ms-nmpc", 3), ("ms-nmpc", 1),
-        ("c-nmpc", 3), ("c-nmpc", 1),
+        ("ms-nmpc", 3, "dense"), ("ms-nmpc", 1, "dense"),
+        ("ms-nmpc", 3, "riccati"), ("ms-nmpc", 1, "riccati"),
+        ("c-nmpc", 3, "dense"), ("c-nmpc", 1, "dense"),
     ]
+    import dataclasses as _dc
+    r_opts = _dc.replace(ipm.F32_OPTS, refine_restart=1, refine_iters=4)
     rows = []
-    for mode, iters in configs:
+    for mode, iters, backend in configs:
         cfg = SimConfig(model="dynamic", mode=mode, n_ticks=1000,
-                        mpc=MPC_F32, ipm=ipm.F32_ACCURATE,
-                        sqp_iters=iters)
+                        mpc=MPC_F32,
+                        ipm=(r_opts if backend == "riccati"
+                             else ipm.F32_ACCURATE),
+                        sqp_iters=iters, qp_backend=backend)
         t0 = time.time()
         out, timing = simulate_timed(track, params, cfg)
         row = dict(
-            mode=mode, sqp_iters=iters, track="fsg2019", model="dynamic",
+            mode=mode, sqp_iters=iters, qp_backend=backend,
+            track="fsg2019", model="dynamic",
             lap_done=bool(out.lap_done),
             lap_time=round(float(out.lap_time), 3),
             track_violation=round(float(out.track_violation), 5),

@@ -229,3 +229,35 @@ def test_hs_kinematic_defects(circ):
     assert np.all(np.abs(np.asarray(us[:, 1])) <= 0.4 + 1e-7)
     assert np.all(np.abs(np.asarray(xs[1:, 1]))
                   <= 0.75 + float(res.slack[0]) + 1e-6)
+
+
+def test_ms_dynamic_riccati_matches_dense(circ):
+    """The stage-wise subproblem (pre-step friction rows re-expressed via
+    the dynamics substitution, sqp._align_prestep_group) is the SAME
+    subproblem: SQP on the riccati backend must land on the dense
+    backend's trajectory."""
+    N = 10
+    mpc = MPCParams(n_steps=N)
+    x_ref, x_init, u_init = _setup(N, 7)
+    x0 = jnp.asarray([0.0, 0.05, 0.0, 8.0, 0.0, 8.0 / 25.0, 0.0])
+    res_d = sqp.ms_nmpc_dynamic(x0, x_ref, circ, P, mpc, x_init, u_init,
+                                sqp_iters=4)
+    res_r = sqp.ms_nmpc_dynamic(x0, x_ref, circ, P, mpc, x_init, u_init,
+                                sqp_iters=4, backend="riccati")
+    np.testing.assert_allclose(np.asarray(res_r.u_opt),
+                               np.asarray(res_d.u_opt), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res_r.x_opt),
+                               np.asarray(res_d.x_opt), atol=2e-5)
+
+
+def test_ms_kinematic_riccati_matches_dense(circ):
+    N = 12
+    mpc = MPCParams(n_steps=N)
+    x_ref, x_init, u_init = _setup(N, 5)
+    x0 = jnp.asarray([0.0, 0.1, 0.02, 8.0, 0.0])
+    res_d = sqp.ms_nmpc_kinematic(x0, x_ref, circ, P, mpc, x_init, u_init,
+                                  sqp_iters=3)
+    res_r = sqp.ms_nmpc_kinematic(x0, x_ref, circ, P, mpc, x_init, u_init,
+                                  sqp_iters=3, backend="riccati")
+    np.testing.assert_allclose(np.asarray(res_r.u_opt),
+                               np.asarray(res_d.u_opt), atol=2e-5)

@@ -331,3 +331,41 @@ def test_riccati_factor_apply_solves_kkt():
                                    sol[N * nu:N * nu + N * nx], atol=1e-7)
         np.testing.assert_allclose(np.asarray(dlam[j]).reshape(-1),
                                    sol[N * nu + N * nx:], atol=1e-7)
+
+
+def test_refine_restart_improves_truncated_solve():
+    """The delta-form restart about a truncated incumbent must recover
+    (most of) the remaining error -- the stage-wise port of the dense
+    solver's refine_restart (the one ingredient measured to move f32
+    accuracy, PRESET_MAP.json)."""
+    import dataclasses
+    worse = better = 0
+    for seed in range(4):
+        qp = _random_stage_qp(seed)
+        ref = riccati.solve_stage_qp(qp, ipm.IpmOptions(max_iters=60))
+        o_plain = ipm.IpmOptions(max_iters=8, adaptive=False)
+        o_rest = dataclasses.replace(o_plain, refine_restart=1,
+                                     refine_iters=8)
+        e_plain = float(jnp.max(jnp.abs(
+            riccati.solve_stage_qp(qp, o_plain).u - ref.u)))
+        e_rest = float(jnp.max(jnp.abs(
+            riccati.solve_stage_qp(qp, o_rest).u - ref.u)))
+        # never materially worse; count wins
+        assert e_rest <= max(2.0 * e_plain, 1e-7)
+        if e_rest < 0.5 * e_plain or e_plain < 1e-7:
+            better += 1
+        else:
+            worse += 1
+    assert better >= 3, f"restart won only {better}/4 seeds"
+
+
+def test_unsupported_stage_opts_raise():
+    import dataclasses
+    import pytest as _pytest
+    qp = _random_stage_qp(0)
+    for field, val in [("polish", 2), ("scale_kkt", True),
+                       ("comp_resid", True), ("correctors", 1),
+                       ("var_scale", True)]:
+        bad = dataclasses.replace(ipm.IpmOptions(), **{field: val})
+        with _pytest.raises(ValueError):
+            riccati.solve_stage_qp(qp, bad)
