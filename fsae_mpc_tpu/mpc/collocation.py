@@ -30,6 +30,7 @@ from ..config import MPCParams, VehicleParams
 from ..models import curvilinear as cm
 from ..ops.condense import condense_general
 from ..ops import ipm
+from ..ops import riccati
 from ..ops.linalg import solve_unrolled
 from . import constraints as cons
 from .ltv import assemble_condensed_qp
@@ -89,15 +90,133 @@ def _collocation_weights(mpc: MPCParams, nx, N, dtype):
     return q_diag, r_diag
 
 
+def _trapezoidal_stage_qp(x0, x_ref, q_diag, r_diag, r_soft, groups,
+                          fr_group, Ad, Ba, Bb, dd, u_lb, u_ub):
+    """The trapezoidal SQP subproblem as an uncondensed
+    :class:`ops.riccati.StageQP` on the AUGMENTED state z_k = [x_k; u_k].
+
+    The two-control coupling x_{k+1} = Ad_k x_k + Ba_k u_k + Bb_k u_{k+1}
+    + dd_k becomes a one-step recurrence on z with stage control
+    w_k = u_k:
+
+        stage 0:    z_0 = [x0; u_0]          (A = 0, B = [0; I], d = [x0; 0])
+        stage k>=1: z_k = [Ad Ba; 0 0] z_{k-1} + [Bb; I] w_k + [dd; 0]
+
+    Constraint rows at point k touch (x_k, u_k) -- both inside z_k, so
+    every row is a pure augmented-state row on the stage's post-state
+    (C_tilde = [C_x, D_u], D = 0).  Same minimiser as the condensed QP of
+    :func:`trapezoidal_nmpc_*` (tests/test_nmpc.py parity), with no B_bar
+    ever formed.
+
+    ``groups``: x-only StageConstraint list at points 1..N (Ng = N);
+    ``fr_group``: optional (x, u) group at points 0..N (Ng = N + 1,
+    e.g. the dynamic friction ellipse) or None.
+    Returns (qp, const).
+    """
+    N1, nx, nu = Ba.shape[0] + 1, Ba.shape[1], Ba.shape[2]   # N1 = N + 1
+    N = N1 - 1
+    dtype = Ad.dtype
+    nz = nx + nu
+    n_soft = len(r_soft)
+
+    # augmented transition
+    Atil = jnp.zeros((N1, nz, nz), dtype)
+    Atil = Atil.at[1:, :nx, :nx].set(Ad)
+    Atil = Atil.at[1:, :nx, nx:].set(Ba)
+    Btil = jnp.zeros((N1, nz, nu), dtype)
+    Btil = Btil.at[1:, :nx, :].set(Bb)
+    Btil = Btil.at[:, nx:, :].set(jnp.eye(nu, dtype=dtype)[None])
+    dtil = jnp.zeros((N1, nz), dtype)
+    dtil = dtil.at[0, :nx].set(x0)
+    dtil = dtil.at[1:, :nx].set(dd)
+
+    # costs: tracking on the x-part of z_1..z_N, control cost on w_k
+    q_st = q_diag.reshape(N, nx)
+    Qx = jnp.zeros((N1, nz), dtype).at[1:, :nx].set(2.0 * q_st)
+    qx = jnp.zeros((N1, nz), dtype).at[1:, :nx].set(-2.0 * q_st * x_ref)
+    Ru = 2.0 * r_diag.reshape(N1, nu)
+    const = jnp.sum(q_st * x_ref * x_ref)
+
+    # rows: emit each group's sides like ltv.build_stage_rows, padded with
+    # an inactive stage-0 row block for the point-1..N groups
+    C_parts, Ws_parts, lo_parts, hi_parts = [], [], [], []
+
+    def emit(Ct, off, lo, hi, slack_col, sign, lead_pad):
+        rr = Ct.shape[1]
+        if lead_pad:
+            Ct = jnp.concatenate([jnp.zeros((1, rr, nz), dtype), Ct],
+                                 axis=0)
+            off = jnp.concatenate([jnp.zeros((1, rr), dtype), off], axis=0)
+        Ws = np.zeros((rr, n_soft), np.float64)
+        if slack_col is not None:
+            Ws[np.arange(rr), slack_col] = sign
+        lo_b = jnp.asarray(lo, dtype)[None, :] - off
+        hi_b = jnp.asarray(hi, dtype)[None, :] - off
+        if lead_pad:
+            # stage-0 block is structurally absent: deactivate both sides
+            lo_b = lo_b.at[0].set(-jnp.inf)
+            hi_b = hi_b.at[0].set(jnp.inf)
+        C_parts.append(Ct)
+        Ws_parts.append(jnp.broadcast_to(jnp.asarray(Ws, dtype),
+                                         (N1, rr, n_soft)))
+        lo_parts.append(lo_b)
+        hi_parts.append(hi_b)
+
+    def group_rows(grp, lead_pad):
+        Ng, rr, _ = grp.C.shape
+        Ct = jnp.concatenate([grp.C, grp.D], axis=-1)        # (Ng, r, nz)
+        lb_g = np.broadcast_to(grp.lb, (rr,))
+        ub_g = np.broadcast_to(grp.ub, (rr,))
+        sidx = np.broadcast_to(grp.slack_idx, (rr,))
+        hard = sidx < 0
+        if np.all(hard):
+            emit(Ct, grp.offset_const, lb_g, ub_g, None, 0.0, lead_pad)
+        else:
+            assert not np.any(hard), "mixed hard/soft rows in one group"
+            inf_v = np.full((rr,), np.inf)
+            if np.all(np.isfinite(lb_g)):
+                emit(Ct, grp.offset_const, lb_g, inf_v, sidx, +1.0,
+                     lead_pad)
+            if np.all(np.isfinite(ub_g)):
+                emit(Ct, grp.offset_const, -inf_v, ub_g, sidx, -1.0,
+                     lead_pad)
+
+    for grp in groups:
+        group_rows(grp, lead_pad=True)
+    if fr_group is not None:
+        group_rows(fr_group, lead_pad=False)
+
+    C = jnp.concatenate(C_parts, axis=1)
+    Ws = jnp.concatenate(Ws_parts, axis=1)
+    lbA = jnp.concatenate(lo_parts, axis=1)
+    ubA = jnp.concatenate(hi_parts, axis=1)
+    r_rows = C.shape[1]
+    D = jnp.zeros((N1, r_rows, nu), dtype)
+
+    qp = riccati.StageQP(
+        Ad=Atil, Bd=Btil, dd=dtil, x0=jnp.zeros((nz,), dtype),
+        Qx=Qx, qx=qx, Ru=Ru, ru=jnp.zeros((N1, nu), dtype),
+        g_s=jnp.asarray(r_soft, dtype),
+        C=C, D=D, Ws=Ws, lbA=lbA, ubA=ubA,
+        u_lb=u_lb, u_ub=u_ub,
+        s_lb=jnp.zeros((n_soft,), dtype),
+        s_ub=jnp.full((n_soft,), jnp.inf, dtype))
+    return qp, const
+
+
 def trapezoidal_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
                                mpc: MPCParams, x_init, u_init,
                                opts: ipm.IpmOptions = ipm.IpmOptions(),
-                               sqp_iters: int = 3, warm=None) -> SqpResult:
+                               sqp_iters: int = 3, warm=None,
+                               backend: str = "dense") -> SqpResult:
     """Trapezoidal C-NMPC, kinematic model
     (``trapezoidal_nmpc_kinematic_curvilinear.m``).
 
     ``x_init``: (N+1, 5) iterate over collocation points (point 0 will be
     pinned to x0); ``u_init``: (N+1, 2).  ``x_ref``: (N, 5) for points 1..N.
+
+    ``backend="riccati"`` solves the subproblems stage-wise on the
+    augmented state (:func:`_trapezoidal_stage_qp`).
     """
     N = mpc.n_steps
     dtype = x_init.dtype
@@ -111,8 +230,6 @@ def trapezoidal_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
         x_pts, u_pts = carry
         x_pts = x_pts.at[0].set(x0)
         Ad, Ba, Bb, dd = _trapezoidal_stages(f, x_pts, u_pts, mpc.dt)
-        A_bar, B_bar, d_bar = condense_general(
-            Ad, dd, [(Ba, 0), (Bb, 1)], n_controls=N + 1)
         x_in = x_pts[1:]
         u_in = u_pts[1:]
         groups = [
@@ -124,20 +241,34 @@ def trapezoidal_nmpc_kinematic(x0, x_ref, track, params: VehicleParams,
                                  x_in, u_in),
             cons.kinematic_tyre_group(x_in, u_in, mpc, params, slack=0),
         ]
+
+        def roll_states(u_new):
+            def roll(x, inp):
+                Ad_i, Ba_i, Bb_i, dd_i, u_i, u_n = inp
+                x_next = Ad_i @ x + Ba_i @ u_i + Bb_i @ u_n + dd_i
+                return x_next, x_next
+
+            _, tail = lax.scan(
+                roll, x0, (Ad, Ba, Bb, dd, u_new[:-1], u_new[1:]))
+            return jnp.concatenate([x0[None], tail], axis=0)
+
+        if backend == "riccati":
+            qp_s, const = _trapezoidal_stage_qp(
+                x0, x_ref, q_diag, r_diag, [mpc.w_track], groups, None,
+                Ad, Ba, Bb, dd, u_lb, u_ub)
+            res = riccati.solve_stage_qp(qp_s, opts, warm=qp_warm)
+            u_new = res.u
+            return (roll_states(u_new), u_new), (res.s,
+                                                 res.objective + const, res)
+
+        A_bar, B_bar, d_bar = condense_general(
+            Ad, dd, [(Ba, 0), (Bb, 1)], n_controls=N + 1)
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag, [mpc.w_track],
             groups, u_lb, u_ub)
         res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=qp_warm)
         u_new = res.x[:(N + 1) * 2].reshape(N + 1, 2)
-
-        def roll(x, inp):
-            Ad_i, Ba_i, Bb_i, dd_i, u_i, u_n = inp
-            x_next = Ad_i @ x + Ba_i @ u_i + Bb_i @ u_n + dd_i
-            return x_next, x_next
-
-        _, x_new_tail = lax.scan(
-            roll, x0, (Ad, Ba, Bb, dd, u_new[:-1], u_new[1:]))
-        x_new = jnp.concatenate([x0[None], x_new_tail], axis=0)
+        x_new = roll_states(u_new)
         return (x_new, u_new), (res.x[(N + 1) * 2:], res.objective + const, res)
 
     x_opt, u_opt, last = run_sqp(sqp_iter, x_init, u_init, sqp_iters, warm)
@@ -352,11 +483,17 @@ def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
                              mpc: MPCParams, x_init, u_init,
                              opts: ipm.IpmOptions = ipm.IpmOptions(),
                              sqp_iters: int = 3,
-                             trust_u=(2.0, 0.15), warm=None) -> SqpResult:
+                             trust_u=(2.0, 0.15), warm=None,
+                             backend: str = "dense") -> SqpResult:
     """Trapezoidal C-NMPC, dynamic model
     (``trapezoidal_nmpc_dynamic_curvilinear.m``): exact friction-ellipse
     rows at every collocation point (incl. point 0 through its control),
     track softening at points 1..N.  Slack order [track(1e8), tyre(1e5)].
+
+    ``backend="riccati"``: stage-wise subproblems on the augmented state
+    (:func:`_trapezoidal_stage_qp`); the friction rows pair each point's
+    state with its own control, which the augmented state carries
+    natively.
     """
     N = mpc.n_steps
     dtype = x_init.dtype
@@ -373,8 +510,6 @@ def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
         x_pts, u_pts = carry
         x_pts = x_pts.at[0].set(x0)
         Ad, Ba, Bb, dd = _trapezoidal_stages(f, x_pts, u_pts, mpc.dt)
-        A_bar, B_bar, d_bar = condense_general(
-            Ad, dd, [(Ba, 0), (Bb, 1)], n_controls=N + 1)
         x_in = x_pts[1:]
         u_in = u_pts[1:]
         groups = [
@@ -384,27 +519,41 @@ def trapezoidal_nmpc_dynamic(x0, x_ref, track, params: VehicleParams,
             cons.state_box_group([1], np.array([-mpc.n_max]),
                                  np.array([mpc.n_max]), np.array([0]),
                                  x_in, u_in),
-            cons.friction_ellipse_group(x_pts, u_pts, mpc, params, slack=1,
-                                        state_rows=fr_rows,
-                                        ctrl_cols=fr_cols),
         ]
+        fr_group = cons.friction_ellipse_group(
+            x_pts, u_pts, mpc, params, slack=1, state_rows=fr_rows,
+            ctrl_cols=fr_cols)
         tr = jnp.asarray(trust_u, dtype)
         lb_eff = jnp.maximum(u_lb, u_pts - tr)
         ub_eff = jnp.minimum(u_ub, u_pts + tr)
+
+        def roll_states(u_new):
+            def roll(x, inp):
+                Ad_i, Ba_i, Bb_i, dd_i, u_i, u_n = inp
+                x_next = Ad_i @ x + Ba_i @ u_i + Bb_i @ u_n + dd_i
+                return x_next, x_next
+
+            _, tail = lax.scan(
+                roll, x0, (Ad, Ba, Bb, dd, u_new[:-1], u_new[1:]))
+            return jnp.concatenate([x0[None], tail], axis=0)
+
+        if backend == "riccati":
+            qp_s, const = _trapezoidal_stage_qp(
+                x0, x_ref, q_diag, r_diag, [mpc.w_track, mpc.w_slip],
+                groups, fr_group, Ad, Ba, Bb, dd, lb_eff, ub_eff)
+            res = riccati.solve_stage_qp(qp_s, opts, warm=qp_warm)
+            u_new = res.u
+            return (roll_states(u_new), u_new), (res.s,
+                                                 res.objective + const, res)
+
+        A_bar, B_bar, d_bar = condense_general(
+            Ad, dd, [(Ba, 0), (Bb, 1)], n_controls=N + 1)
         H, g, A, lb, ub, lbA, ubA, const = assemble_condensed_qp(
             A_bar, B_bar, d_bar, x0, x_ref, q_diag, r_diag,
-            [mpc.w_track, mpc.w_slip], groups, lb_eff, ub_eff)
+            [mpc.w_track, mpc.w_slip], groups + [fr_group], lb_eff, ub_eff)
         res = ipm.solve_qp(H, g, A, lb, ub, lbA, ubA, opts, warm=qp_warm)
         u_new = res.x[:(N + 1) * 2].reshape(N + 1, 2)
-
-        def roll(x, inp):
-            Ad_i, Ba_i, Bb_i, dd_i, u_i, u_n = inp
-            x_next = Ad_i @ x + Ba_i @ u_i + Bb_i @ u_n + dd_i
-            return x_next, x_next
-
-        _, x_new_tail = lax.scan(
-            roll, x0, (Ad, Ba, Bb, dd, u_new[:-1], u_new[1:]))
-        x_new = jnp.concatenate([x0[None], x_new_tail], axis=0)
+        x_new = roll_states(u_new)
         return (x_new, u_new), (res.x[(N + 1) * 2:], res.objective + const, res)
 
     x_opt, u_opt, last = run_sqp(sqp_iter, x_init, u_init, sqp_iters, warm)

@@ -83,6 +83,8 @@ class SimOutputs:
     slack_n: Any          # (T,)
     slack_tyre: Any       # (T,)
     solver_iters: Any     # (T,)
+    qp_pres: Any          # (T,) solver primal residual (backend floor data)
+    qp_mu: Any            # (T,) solver complementarity measure
     converged: Any        # (T,) bool
     active: Any           # (T,) bool: tick ran before lap completion
     fcr: Any              # (T,) rear lateral tyre force (plant)
@@ -225,7 +227,7 @@ def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
                   warm=None:
                   base(x0, x_ref, track, params, mpc, *sqp.shift_trajectory(
                       x_lin, u_lin, _step), opts,
-                      sqp_iters=cfg.sqp_iters))
+                      sqp_iters=cfg.sqp_iters, backend=cfg.qp_backend))
     else:
         raise ValueError(f"unknown mode {cfg.mode}")
 
@@ -299,6 +301,7 @@ def _build_tick(track, params: VehicleParams, cfg: SimConfig, x_init,
             x=x, u=res.u_opt[0], n=n, obj=res.fval,
             slack_n=res.slack[0], slack_tyre=res.slack[-1],
             iters=res.qp.iterations, converged=converged,
+            pres=res.qp.primal_res, mu=res.qp.mu,
             active=jnp.logical_not(done), fcr=fcr,
         )
         return (x, x_opt, u_opt, pids, done, qp_prev), out
@@ -483,6 +486,7 @@ def _summarise(tr, cfg: SimConfig, params: VehicleParams, dtype):
         x_history=tr["x"], u_history=tr["u"], n_history=tr["n"],
         obj_history=tr["obj"], slack_n=tr["slack_n"],
         slack_tyre=tr["slack_tyre"], solver_iters=tr["iters"],
+        qp_pres=tr["pres"], qp_mu=tr["mu"],
         converged=tr["converged"], active=active, fcr=tr["fcr"],
         lap_time=lap_time, lap_done=lap_done,
         track_violation=track_violation,

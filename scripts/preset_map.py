@@ -146,12 +146,14 @@ def main():
         ("RICCATI", base),
         ("RICCATI+restart1(4it)", dataclasses.replace(
             base, refine_restart=1, refine_iters=4)),
-        ("RICCATI+restart1(6it)", dataclasses.replace(
-            base, refine_restart=1, refine_iters=6)),
         ("RICCATI+restart1(8it)", dataclasses.replace(
             base, refine_restart=1, refine_iters=8)),
-        ("RICCATI+restart2(4it)", dataclasses.replace(
-            base, refine_restart=2, refine_iters=4)),
+        ("RICCATI+restart2(8it)", dataclasses.replace(
+            base, refine_restart=2, refine_iters=8)),
+        ("RICCATI+restart1(12it)", dataclasses.replace(
+            base, refine_restart=1, refine_iters=12)),
+        ("RICCATI,16it+restart1(8it)", dataclasses.replace(
+            base, max_iters=16, refine_restart=1, refine_iters=8)),
     ]
     out = {"backend": jax.default_backend(),
            "regime": "dense assembly, warm RH ticks batch 1024 "

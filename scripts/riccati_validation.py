@@ -42,36 +42,59 @@ def _merge(section, payload):
 
 
 def lap():
+    """Riccati lap rows: dynamic LTV on all 3 tracks + one kinematic row
+    (VERDICT r4 #2), with the per-tick solver-residual floor percentiles
+    that calibrate sim.closed_loop.CONV_THRESHOLDS.
+
+    Usage: python scripts/riccati_validation.py lap [preset]
+    with preset in {f32_opts, restart}.
+    """
+    import dataclasses
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
+    import numpy as np
     from fsae_mpc_tpu.config import MPC_F32, VehicleParams
     from fsae_mpc_tpu.ops import ipm
     from fsae_mpc_tpu.sim.closed_loop import SimConfig, simulate_timed
     from fsae_mpc_tpu.track import load_track
 
-    track_name = sys.argv[2] if len(sys.argv) > 2 else "fsg2019"
-    track, _ = load_track(f"data/{track_name}.csv", dtype=jnp.float32)
-    cfg = SimConfig(model="dynamic", mode="ltv", n_ticks=1000, mpc=MPC_F32,
-                    ipm=ipm.F32_OPTS, qp_backend="riccati")
-    t0 = time.time()
-    out, timing = simulate_timed(track, VehicleParams(), cfg)
-    row = dict(
-        track=track_name, mode="ltv", model="dynamic", dtype="f32",
-        qp_backend="riccati",
-        lap_done=bool(out.lap_done),
-        lap_time=round(float(out.lap_time), 3),
-        track_violation=round(float(out.track_violation), 5),
-        max_track_violation=round(float(out.max_track_violation), 4),
-        tyre_violation=round(float(out.tyre_violation), 5),
-        max_tyre_violation=round(float(out.max_tyre_violation), 4),
-        slack_n_frac=round(float(out.slack_n_frac), 4),
-        abnormal_exit_frac=round(float(out.abnormal_exit_frac), 4),
-        wall_s=round(time.time() - t0, 1),
-        tick_time_p99_s=round(timing["tick_time_p99_s"], 5))
-    print(row)
-    _merge("lap_" + track_name, row)
+    preset = sys.argv[2] if len(sys.argv) > 2 else "f32_opts"
+    opts = (ipm.F32_OPTS if preset == "f32_opts"
+            else dataclasses.replace(ipm.F32_OPTS, refine_restart=1,
+                                     refine_iters=4))
+    configs = [("fsg2019", "dynamic"), ("fso2020", "dynamic"),
+               ("fss2019", "dynamic"), ("fsg2019", "kinematic")]
+    for track_name, model in configs:
+        track, _ = load_track(f"data/{track_name}.csv", dtype=jnp.float32)
+        cfg = SimConfig(model=model, mode="ltv", n_ticks=1000, mpc=MPC_F32,
+                        ipm=opts, qp_backend="riccati")
+        t0 = time.time()
+        out, timing = simulate_timed(track, VehicleParams(), cfg)
+        act = np.asarray(out.active)
+        pres = np.asarray(out.qp_pres)[act]
+        mu = np.asarray(out.qp_mu)[act]
+        row = dict(
+            track=track_name, mode="ltv", model=model, dtype="f32",
+            qp_backend="riccati", preset=preset,
+            lap_done=bool(out.lap_done),
+            lap_time=round(float(out.lap_time), 3),
+            track_violation=round(float(out.track_violation), 5),
+            max_track_violation=round(float(out.max_track_violation), 4),
+            tyre_violation=round(float(out.tyre_violation), 5),
+            max_tyre_violation=round(float(out.max_tyre_violation), 4),
+            slack_n_frac=round(float(out.slack_n_frac), 4),
+            abnormal_exit_frac=round(float(out.abnormal_exit_frac), 4),
+            pres_median=float(np.median(pres)),
+            pres_p95=float(np.percentile(pres, 95)),
+            pres_max=float(pres.max()),
+            mu_median=float(np.median(mu)),
+            mu_p95=float(np.percentile(mu, 95)),
+            wall_s=round(time.time() - t0, 1),
+            tick_time_p99_s=round(timing["tick_time_p99_s"], 5))
+        print(row, flush=True)
+        _merge(f"lap_{track_name}_{model}_{preset}", row)
 
 
 def warm():
@@ -111,7 +134,11 @@ def warm():
 
     f = lambda x, u: cm.f_curv_dyn_only(x, u, track32, params)
     step = lambda x, u: integrators.rk4_step(f, x, u, mpc.dt)
-    opts = ipm.F32_OPTS
+    import dataclasses
+    preset = sys.argv[2] if len(sys.argv) > 2 else "f32_opts"
+    opts = (ipm.F32_OPTS if preset == "f32_opts"
+            else dataclasses.replace(ipm.F32_OPTS, refine_restart=1,
+                                     refine_iters=4))
 
     carry = [jnp.asarray(a, f32) for a in (x0, x_lin, u_lin)]
     warm_state = None
@@ -141,13 +168,14 @@ def warm():
         ipm.IpmOptions(max_iters=60, tol=1e-12))))(*args64)
     du = np.abs(np.asarray(res.u_opt, np.float64)
                 - np.asarray(ref.u_opt, np.float64))
-    row = {"regime": "warm tick 4 of a receding-horizon chain, "
-                     "riccati f32 12it vs tight f64 dense, same QP",
+    row = {"regime": f"warm tick 4 of a receding-horizon chain, riccati "
+                     f"f32 {preset} vs tight f64 dense, same QP",
            "first_control_max_err": float(du[:, 0].max()),
            "mean_control_err": float(du.mean()),
            "p99_control_err": float(np.quantile(du, 0.99))}
     print(row)
-    _merge("warm_accuracy", row)
+    _merge(f"warm_accuracy_{preset}" if preset != "f32_opts"
+           else "warm_accuracy", row)
 
 
 if __name__ == "__main__":

@@ -261,3 +261,45 @@ def test_ms_kinematic_riccati_matches_dense(circ):
                                   sqp_iters=3, backend="riccati")
     np.testing.assert_allclose(np.asarray(res_r.u_opt),
                                np.asarray(res_d.u_opt), atol=2e-5)
+
+
+def test_trapezoidal_dynamic_riccati_matches_dense(circ):
+    """The augmented-state stage QP (collocation._trapezoidal_stage_qp)
+    is the same subproblem as the condensed two-control-coupled QP."""
+    N = 10
+    mpc = MPCParams(n_steps=N)
+    x_ref, _, _ = _setup(N, 7)
+    x_init = np.zeros((N + 1, 7))
+    x_init[:, 0] = 8.0 * mpc.dt * np.arange(N + 1)
+    x_init[:, 3] = 8.0
+    u_init = np.zeros((N + 1, 2))
+    x_init, u_init = jnp.asarray(x_init), jnp.asarray(u_init)
+    x0 = jnp.asarray([0.0, 0.05, 0.0, 8.0, 0.0, 8.0 / 25.0, 0.0])
+    res_d = collocation.trapezoidal_nmpc_dynamic(
+        x0, x_ref, circ, P, mpc, x_init, u_init, sqp_iters=3)
+    res_r = collocation.trapezoidal_nmpc_dynamic(
+        x0, x_ref, circ, P, mpc, x_init, u_init, sqp_iters=3,
+        backend="riccati")
+    np.testing.assert_allclose(np.asarray(res_r.u_opt),
+                               np.asarray(res_d.u_opt), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(res_r.x_opt),
+                               np.asarray(res_d.x_opt), atol=3e-5)
+
+
+def test_trapezoidal_kinematic_riccati_matches_dense(circ):
+    N = 10
+    mpc = MPCParams(n_steps=N)
+    x_ref, _, _ = _setup(N, 5)
+    x_init = np.zeros((N + 1, 5))
+    x_init[:, 0] = 8.0 * mpc.dt * np.arange(N + 1)
+    x_init[:, 3] = 8.0
+    u_init = np.zeros((N + 1, 2))
+    x_init, u_init = jnp.asarray(x_init), jnp.asarray(u_init)
+    x0 = jnp.asarray([0.0, 0.1, 0.02, 8.0, 0.0])
+    res_d = collocation.trapezoidal_nmpc_kinematic(
+        x0, x_ref, circ, P, mpc, x_init, u_init, sqp_iters=3)
+    res_r = collocation.trapezoidal_nmpc_kinematic(
+        x0, x_ref, circ, P, mpc, x_init, u_init, sqp_iters=3,
+        backend="riccati")
+    np.testing.assert_allclose(np.asarray(res_r.u_opt),
+                               np.asarray(res_d.u_opt), atol=3e-5)
