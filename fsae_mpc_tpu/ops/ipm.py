@@ -195,6 +195,16 @@ class IpmOptions:
                                 # (each re-anchors at the improved iterate
                                 # and contracts the remaining error).
     refine_iters: int = 10      # iteration budget per delta-form round
+    refine_comp: bool = True    # evaluate compensated dual residuals
+                                # INSIDE the delta-form rounds (the
+                                # compensated *data* -- shifted bounds and
+                                # gradients -- is always used).  On-chip
+                                # comp_resid costs ~4x per iteration; with
+                                # the delta data already compensated most
+                                # of the accuracy survives without it
+                                # (PRESET_MAP.json round-5 rows), which is
+                                # what makes a >=10k solves/s restart
+                                # preset possible.
     comp_resid: bool = False    # evaluate the dual residual Hx + g - A'z
                                 # - z_b with error-free transforms
                                 # (ops.precision.residual_affine) inside
@@ -365,7 +375,8 @@ def solve_qp(H, g, A, lb, ub, lbA, ubA, opts: IpmOptions = IpmOptions(),
         res = solve_qp(H, g, A, lb, ub, lbA, ubA, o1, x0=x0, dtype=dtype,
                        warm=warm)
         o2 = dataclasses.replace(
-            opts, refine_restart=0, var_scale=True, comp_resid=True,
+            opts, refine_restart=0, var_scale=True,
+            comp_resid=opts.refine_comp,
             max_iters=opts.refine_iters, polish=0, warm_duals="reuse",
             warm_floor=1e-7)
         zero_m = jnp.zeros((A.shape[0],), dtype)
@@ -924,6 +935,23 @@ F32_ACCURATE = IpmOptions(max_iters=16, tol=5e-7, reg=1e-7, adaptive=False,
 F32_BALANCED = IpmOptions(max_iters=12, tol=5e-7, reg=1e-7, adaptive=False,
                           freeze=(1e-4, 1e-5, 1e-7),
                           refine_restart=1, refine_iters=4)
+
+# FIRST preset measured to meet BOTH BASELINE bars at once (round 5,
+# PRESET_MAP.json "RICCATI(ss)+restart2(6it)"): run it on the stage-wise
+# Riccati backend (backend="riccati"), whose slack-variable scaling +
+# two delta-form restart rounds give, on COLD production QPs vs tight
+# f64 ON THE CHIP:
+#   16,579 solves/s   (bar: >= 10,000)
+#   3.6e-3 first-control max error (bar: <= 1e-2)
+#   4.6e-4 mean control error      (bar: <= 1e-3)
+# Warm receding-horizon chains are ~2x more accurate still
+# (RICCATI_VALIDATION.json warm rows).  The restart mechanism is
+# ops.riccati.solve_stage_qp's refine_restart; on the dense backend this
+# preset is also valid but slower (see "+restart2(4it,light)" rows).
+F32_PRODUCTION = IpmOptions(max_iters=12, tol=5e-7, reg=1e-7,
+                            adaptive=False, freeze=(1e-4, 1e-5, 1e-7),
+                            refine_restart=2, refine_iters=6,
+                            refine_comp=False)
 
 
 solve_qp_batched = jax.vmap(

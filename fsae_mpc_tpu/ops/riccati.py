@@ -471,8 +471,39 @@ def solve_stage_qp(qp: StageQP, opts: IpmOptions = IpmOptions(),
     ingredient measured to move f32 control accuracy (PRESET_MAP.json).
     The condensed-only refinements (polish, var_scale, scale_kkt,
     comp_resid, correctors) raise ValueError when set.
+
+    The soft-slack VARIABLES are rescaled (power-of-two, roundoff-free)
+    so the 1e8 slack gradient no longer sets the global objective scale:
+    without this the internal c_scale divides the control curvature Ru
+    down to ~1e-7 scaled -- below f32 gradient noise -- which was the
+    measured driver of the cold-QP accuracy stall (first-control max
+    0.047 -> 0.014 with the restart preset, round-5 probe).  All result
+    fields are reported in original units except the residuals, which
+    (like the dense solver's var_scale) are measured on the transformed
+    problem.
     """
     _check_stage_opts(opts)
+    ns = qp.g_s.shape[0]
+    if ns:
+        gx = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(qp.Qx)), jnp.max(jnp.abs(qp.qx))),
+            jnp.maximum(jnp.max(jnp.abs(qp.Ru)), 1.0))
+        ss = jnp.minimum(_pow2(gx / jnp.maximum(jnp.max(jnp.abs(qp.g_s)),
+                                                1.0)),
+                         1.0).astype(qp.g_s.dtype)
+        qp = dataclasses.replace(qp, g_s=qp.g_s * ss, Ws=qp.Ws * ss,
+                                 s_lb=qp.s_lb / ss, s_ub=qp.s_ub / ss)
+        if warm is not None:
+            warm = dataclasses.replace(warm, s=warm.s / ss,
+                                       z_s=warm.z_s * ss)
+        res = _solve_scaled(qp, opts, warm)
+        return dataclasses.replace(res, s=res.s * ss, z_s=res.z_s / ss)
+    return _solve_scaled(qp, opts, warm)
+
+
+def _solve_scaled(qp: StageQP, opts: IpmOptions,
+                  warm: "StageIpmResult | None") -> StageIpmResult:
+    """Restart driver on the (slack-scaled) problem."""
     if not opts.refine_restart:
         return _solve_stage_core(qp, opts, warm)
 
@@ -627,34 +658,48 @@ def _solve_stage_core(qp: StageQP, opts: IpmOptions = IpmOptions(),
         return jnp.concatenate([x0[None], x[:-1]], axis=0)
 
     # ---- Newton solve given current diagonal weights ---------------------
-    def factor_and_columns(D_r, D_u, D_s, regm):
-        """Riccati factorisation + sigma Schur data for one iteration."""
+    def factor_and_columns(D_r, D_u, D_s, regm, rhs_p):
+        """Riccati factorisation + sigma Schur data for one iteration.
+
+        ``rhs_p = (rhs_x, rhs_u, re)``: the PREDICTOR right-hand side,
+        which is known before the factorisation -- it rides the SAME
+        fused apply sweep as the ns sigma columns (one K = ns + 1 apply
+        instead of a K = ns and a separate K = 1 launch; the sweeps are
+        latency-bound, so fewer launches is the lever)."""
         reg = opts.reg * regm * maxdiag
         Huinv_f, G_f, W_f, Mq, Lx, Lu, Hss_st = assemble_factor(
             C, D, Ws, D_r, Qx + reg, Ru + D_u + reg, Ad, Bd)
         fac = (Huinv_f, G_f, W_f)
+        rhs_x_p, rhs_u_p, re_p = rhs_p
         if ns:
             Hss = (jnp.sum(Hss_st, axis=0)
                    + jnp.diag(D_s) + reg * jnp.eye(ns, dtype=dtype))
-            rx_c = jnp.moveaxis(Lx, -1, 0)                   # (ns, N, nx)
-            ru_c = jnp.moveaxis(Lu, -1, 0)
-            re_c = jnp.zeros((ns, N, nx), dtype)
-            Yu, Yx, Yl = riccati_apply(fac, Ad, Bd, Mq, rx_c, ru_c, re_c)
+            rx_all = jnp.concatenate(
+                [jnp.moveaxis(Lx, -1, 0), rhs_x_p[None]], axis=0)
+            ru_all = jnp.concatenate(
+                [jnp.moveaxis(Lu, -1, 0), rhs_u_p[None]], axis=0)
+            re_all = jnp.concatenate(
+                [jnp.zeros((ns, N, nx), dtype), re_p[None]], axis=0)
+            Yu_a, Yx_a, Yl_a = riccati_apply(fac, Ad, Bd, Mq, rx_all,
+                                             ru_all, re_all)
+            Yu, Yx, Yl = Yu_a[:ns], Yx_a[:ns], Yl_a[:ns]
+            pred0 = (Yu_a[ns], Yx_a[ns], Yl_a[ns])
             # Schur complement  S = Hss - L' K^-1 L
             LtY = (jnp.einsum("nij,kni->jk", Lx, Yx)
                    + jnp.einsum("nuj,knu->jk", Lu, Yu))
             S = Hss - 0.5 * (LtY + LtY.T)
             S_chol = _chol_small(S)
         else:
+            du0, dx0_, dl0 = riccati_apply(
+                fac, Ad, Bd, Mq, rhs_x_p[None], rhs_u_p[None], re_p[None])
+            pred0 = (du0[0], dx0_[0], dl0[0])
             Lx = Lu = Yu = Yx = Yl = S_chol = None
-        return fac, Mq, Lx, Lu, Yu, Yx, Yl, S_chol
+        return (fac, Mq, Lx, Lu, Yu, Yx, Yl, S_chol), pred0
 
-    def kkt_solve(facdata, rhs_x, rhs_u, rhs_s, re):
-        """Solve the full KKT (incl. sigma Schur) for ONE rhs."""
+    def schur_correct(facdata, base, rhs_s):
+        """Back out the sigma step and correct a base solution."""
         fac, Mq, Lx, Lu, Yu, Yx, Yl, S_chol = facdata
-        du0, dx0_, dl0 = riccati_apply(fac, Ad, Bd, Mq, rhs_x[None],
-                                       rhs_u[None], re[None])
-        du0, dx0_, dl0 = du0[0], dx0_[0], dl0[0]
+        du0, dx0_, dl0 = base
         if ns:
             Ltv = (jnp.einsum("nij,ni->j", Lx, dx0_)
                    + jnp.einsum("nuj,nu->j", Lu, du0))
@@ -666,6 +711,13 @@ def _solve_stage_core(qp: StageQP, opts: IpmOptions = IpmOptions(),
             dsg = jnp.zeros((ns,), dtype)
             du, dx, dlam = du0, dx0_, dl0
         return du, dx, dlam, dsg
+
+    def kkt_solve(facdata, rhs_x, rhs_u, rhs_s, re):
+        """Solve the full KKT (incl. sigma Schur) for ONE rhs."""
+        fac, Mq = facdata[0], facdata[1]
+        du0, dx0_, dl0 = riccati_apply(fac, Ad, Bd, Mq, rhs_x[None],
+                                       rhs_u[None], re[None])
+        return schur_correct(facdata, (du0[0], dx0_[0], dl0[0]), rhs_s)
 
     # ---- residuals -------------------------------------------------------
     def residuals(state):
@@ -856,9 +908,7 @@ def _solve_stage_core(qp: StageQP, opts: IpmOptions = IpmOptions(),
         D_u = dul + duu
         D_s = dsl + dsu
 
-        facdata = factor_and_columns(D_r, D_u, D_s, regm)
-
-        def full_solve(rc):
+        def build_rhs(rc):
             rc_rl, rc_ru, rc_ul, rc_uu, rc_sl, rc_su = rc
             t_r = (jnp.where(mrl, (rc_rl + zrl * r_prl) / srl, 0.0)
                    - jnp.where(mru, (rc_ru + zru * r_pru) / sru, 0.0))
@@ -869,8 +919,11 @@ def _solve_stage_core(qp: StageQP, opts: IpmOptions = IpmOptions(),
             rhs_u = -r_du + t_u + jnp.einsum("nrk,nr->nk", D, t_r)
             rhs_x = -r_dx + jnp.einsum("nri,nr->ni", C, t_r)
             rhs_s = -r_ds + t_s + jnp.einsum("nrj,nr->j", Ws, t_r)
-            du, dx, dlam, dsg = kkt_solve(facdata, rhs_x, rhs_u, rhs_s,
-                                          -r_eq)
+            return rhs_x, rhs_u, rhs_s
+
+        def finish(dv4, rc):
+            rc_rl, rc_ru, rc_ul, rc_uu, rc_sl, rc_su = rc
+            du, dx, dlam, dsg = dv4
             dy = rows_of(dx, du, dsg)      # rows_of is linear
             dsrl = jnp.where(mrl, dy - r_prl, 0.0)
             dsru = jnp.where(mru, -dy - r_pru, 0.0)
@@ -889,6 +942,11 @@ def _solve_stage_core(qp: StageQP, opts: IpmOptions = IpmOptions(),
                   dz(rc_su, zsu, ssu, dssu, msu))
             return (du, dx, dsg, dlam), dS, dZ
 
+        def full_solve(rc):
+            rhs_x, rhs_u, rhs_s = build_rhs(rc)
+            dv4 = kkt_solve(facdata, rhs_x, rhs_u, rhs_s, -r_eq)
+            return finish(dv4, rc)
+
         def max_step(s_, ds_, mk):
             lim = jnp.where(mk & (ds_ < 0),
                             -opts.tau * s_ / jnp.minimum(ds_, -1e-30), 1.0)
@@ -903,10 +961,15 @@ def _solve_stage_core(qp: StageQP, opts: IpmOptions = IpmOptions(),
                 a_d = jnp.minimum(a_d, max_step(z_, dz_, mk))
             return jnp.minimum(a_p, 1.0), jnp.minimum(a_d, 1.0)
 
-        # predictor
+        # predictor -- its rhs is known before the factorisation, so it
+        # rides the sigma-columns apply sweep (see factor_and_columns)
         rc_aff = tuple(jnp.where(mk, -s_ * z_, 0.0)
                        for mk, s_, z_ in zip(masks, S, Z))
-        dv_a, dS_a, dZ_a = full_solve(rc_aff)
+        rhs_aff = build_rhs(rc_aff)
+        facdata, pred0 = factor_and_columns(
+            D_r, D_u, D_s, regm, (rhs_aff[0], rhs_aff[1], -r_eq))
+        dv4_a = schur_correct(facdata, pred0, rhs_aff[2])
+        dv_a, dS_a, dZ_a = finish(dv4_a, rc_aff)
         a_p, a_d = steps_of(dS_a, dZ_a)
         tot_aff = sum(
             jnp.sum(jnp.where(mk, (s_ + a_p * ds_) * (z_ + a_d * dz_), 0.0))

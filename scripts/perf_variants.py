@@ -60,7 +60,7 @@ def build(batch, dtype, mpc, track, params):
 
 
 def measure(opts, batch=1024, n_rep=10, condense="scan",
-            structured=False):
+            structured=False, backend="dense"):
     dtype = jnp.float32
     mpc = MPC_F32
     track, _ = load_track("data/fsg2019.csv", dtype=dtype)
@@ -73,7 +73,7 @@ def measure(opts, batch=1024, n_rep=10, condense="scan",
         res = jax.vmap(
             lambda a, b, c, d, w: ltv.ltv_mpc_dynamic(
                 a, b, track, params, mpc, c, d, opts, warm=w,
-                condense=condense, structured=structured)
+                condense=condense, structured=structured, backend=backend)
         )(x0, x_ref, x_lin, u_lin, warm)
         x0_next = jax.vmap(step)(x0, res.u_opt[:, 0])
         return (x0_next, res.x_opt, res.u_opt, res.qp), res.u_opt[:, 0]
@@ -83,7 +83,7 @@ def measure(opts, batch=1024, n_rep=10, condense="scan",
         return jax.vmap(
             lambda a, b, c, d: ltv.ltv_mpc_dynamic(
                 a, b, track, params, mpc, c, d, opts, condense=condense,
-                structured=structured)
+                structured=structured, backend=backend)
         )(x0b, x_ref, x_linb, u_linb)
 
     tick_j = jax.jit(tick)

@@ -45,6 +45,7 @@ def main():
         ("ms-nmpc", 3, "dense"), ("ms-nmpc", 1, "dense"),
         ("ms-nmpc", 3, "riccati"), ("ms-nmpc", 1, "riccati"),
         ("c-nmpc", 3, "dense"), ("c-nmpc", 1, "dense"),
+        ("c-nmpc", 1, "riccati"),
     ]
     import dataclasses as _dc
     r_opts = _dc.replace(ipm.F32_OPTS, refine_restart=1, refine_iters=4)

@@ -79,7 +79,8 @@ def run(n_devices, per_device_batch=128):
 
 
 def batch_curve():
-    """On-chip batch 1 -> 2048 throughput curve (warm ticks)."""
+    """On-chip batch 1 -> 4096 throughput curve (warm ticks), dense AND
+    riccati backends (VERDICT r4 #8: backend-labeled rows)."""
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -87,11 +88,13 @@ def batch_curve():
     from perf_variants import measure
     from fsae_mpc_tpu.ops import ipm
     rows = []
-    for batch in (1, 8, 64, 256, 1024, 2048):
-        sps, _ = measure(ipm.F32_OPTS, batch=batch)
-        rows.append({"batch": batch, "solves_per_sec": round(sps, 1),
-                     "ms_per_tick": round(batch / sps * 1e3, 3)})
-        print(rows[-1], flush=True)
+    for backend in ("riccati", "dense"):
+        for batch in (1, 8, 64, 256, 1024, 2048, 4096):
+            sps, _ = measure(ipm.F32_OPTS, batch=batch, backend=backend)
+            rows.append({"backend": backend, "batch": batch,
+                         "solves_per_sec": round(sps, 1),
+                         "ms_per_tick": round(batch / sps * 1e3, 3)})
+            print(rows[-1], flush=True)
     return rows
 
 
