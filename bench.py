@@ -43,9 +43,20 @@ def main():
     # QP backend: the uncondensed stage-wise block-Riccati IPM
     # (ops/riccati.py + fused Pallas sweeps) -- measured 2.3x the
     # condensed dense path on the chip (AB_RICCATI.json) with
-    # closed-loop lap quality equal or better (lap row in the same
-    # artifact).  CPU smoke runs keep the dense path (the Riccati
-    # Pallas kernels need the TPU backend for their fused form).
+    # closed-loop lap quality equal or better (RICCATI_VALIDATION.json).
+    # CPU smoke runs keep the dense path (the Riccati Pallas kernels
+    # need the TPU backend for their fused form).
+    #
+    # Accuracy posture (round 5): this bench runs the THROUGHPUT preset
+    # (F32_OPTS, 12 fixed iterations).  Its warm receding-horizon
+    # accuracy is the production number; its worst COLD production QP
+    # used to stall at first-control error ~1.75 (ACCURACY_TPU.json
+    # "RICCATI,12it" -- iterations did not help).  Round 5's
+    # slack-variable scaling + delta-form restarts fix that cold stall:
+    # ipm.F32_PRODUCTION on this same backend measures 16.6k solves/s
+    # at 3.6e-3 max / 4.6e-4 mean COLD error -- the first preset to
+    # meet BOTH BASELINE bars (PRESET_MAP.json meets_both_bars rows).
+    # Use F32_PRODUCTION wherever per-tick control accuracy bars apply.
     backend = "riccati" if on_tpu else "dense"
 
     mpc = MPC_F32 if on_tpu else MPCParams()

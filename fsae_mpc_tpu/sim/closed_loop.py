@@ -110,12 +110,16 @@ jax.tree_util.register_dataclass(
 
 # Per-backend convergence bars (pres, mu) for the abnormal-exit metric,
 # set just above each backend's measured f32 residual floor on warm
-# production ticks (scripts/riccati_validation.py measures the floors;
-# f64 runs sit far below either bar).  The dense path's f32 floor is
-# ~1e-7 pres; the Riccati backend's sits near ~1e-4 (cancellation in the
-# P recursion, ops/riccati.py D_CAP comment) -- under the old global
-# (1e-6, 1e-3) bar its laps read abnormal_exit_frac=1.0 while producing
-# equal-or-better closed-loop quality (RICCATI_VALIDATION.json).
+# production ticks (scripts/riccati_validation.py lap rows measure the
+# floors; f64 runs sit far below either bar).  Measured on-chip lap
+# medians (RICCATI_VALIDATION.json): dense f32 pres reaches < 1e-6 on
+# most ticks; riccati + F32_PRODUCTION (the accuracy preset) floors at
+# pres_median ~8e-6 / p95 ~1.2e-2; riccati + the 12-iteration F32_OPTS
+# throughput preset floors at pres_median ~5e-3 (its converged flag
+# honestly reads mostly-false -- use F32_PRODUCTION when the metric
+# matters).  The (2e-3, 1e-3) riccati bar puts the flagship preset's
+# abnormal_exit_frac at 0.25-0.45 across the lap matrix -- the same band
+# as the dense rows under their own bar (0.15-0.42).
 CONV_THRESHOLDS = {"dense": (1e-6, 1e-3), "riccati": (2e-3, 1e-3)}
 
 

@@ -61,9 +61,7 @@ def lap():
     from fsae_mpc_tpu.track import load_track
 
     preset = sys.argv[2] if len(sys.argv) > 2 else "f32_opts"
-    opts = (ipm.F32_OPTS if preset == "f32_opts"
-            else dataclasses.replace(ipm.F32_OPTS, refine_restart=1,
-                                     refine_iters=4))
+    opts = (ipm.F32_OPTS if preset == "f32_opts" else ipm.F32_PRODUCTION)
     configs = [("fsg2019", "dynamic"), ("fso2020", "dynamic"),
                ("fss2019", "dynamic"), ("fsg2019", "kinematic")]
     for track_name, model in configs:
@@ -134,11 +132,8 @@ def warm():
 
     f = lambda x, u: cm.f_curv_dyn_only(x, u, track32, params)
     step = lambda x, u: integrators.rk4_step(f, x, u, mpc.dt)
-    import dataclasses
     preset = sys.argv[2] if len(sys.argv) > 2 else "f32_opts"
-    opts = (ipm.F32_OPTS if preset == "f32_opts"
-            else dataclasses.replace(ipm.F32_OPTS, refine_restart=1,
-                                     refine_iters=4))
+    opts = (ipm.F32_OPTS if preset == "f32_opts" else ipm.F32_PRODUCTION)
 
     carry = [jnp.asarray(a, f32) for a in (x0, x_lin, u_lin)]
     warm_state = None
