@@ -167,7 +167,8 @@ def solve():
                  ("RICCATI+restart1(8it)", dataclasses.replace(
                       ipm.F32_OPTS, refine_restart=1, refine_iters=8)),
                  ("RICCATI+restart2(4it)", dataclasses.replace(
-                      ipm.F32_OPTS, refine_restart=2, refine_iters=4))]
+                      ipm.F32_OPTS, refine_restart=2, refine_iters=4)),
+                 ("F32_PRODUCTION (restart2(6it))", ipm.F32_PRODUCTION)]
     for name, opts in rvariants:
         sol = jax.jit(jax.vmap(
             lambda q: riccati.solve_stage_qp(q, opts)))(sqp)

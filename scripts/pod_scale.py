@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--model", default="dynamic")
     ap.add_argument("--backend", default="riccati",
                     help="LTV QP backend (riccati | dense)")
+    ap.add_argument("--chunk-ticks", type=int, default=100,
+                    help="ticks per host-dispatched scan chunk (the "
+                         "tunnel kills single dispatches over ~60 s)")
     ap.add_argument("--ipm", default="f32_opts",
                     choices=["f32_opts", "restart"],
                     help="solver preset: f32_opts | restart "
@@ -52,10 +55,8 @@ def main():
         lambda *xs: jnp.stack(xs), *tracks)
 
     B = args.scenarios
-    import dataclasses as _dc
     opts_tpu = (ipm.F32_OPTS if args.ipm == "f32_opts"
-                else _dc.replace(ipm.F32_OPTS, refine_restart=1,
-                                 refine_iters=4))
+                else ipm.F32_PRODUCTION)
     cfg = SimConfig(model=args.model,
                     mpc=(MPC_F32 if on_tpu else MPCParams()),
                     ipm=(opts_tpu if on_tpu else ipm.IpmOptions()),
@@ -81,7 +82,8 @@ def main():
     # a TPU device error; 100-tick chunks run fine -- measured)
     from fsae_mpc_tpu.sim.closed_loop import simulate_chunked
     t0 = time.time()
-    out = simulate_chunked(track_rep, params, cfg, chunk_ticks=100)
+    out = simulate_chunked(track_rep, params, cfg,
+                           chunk_ticks=args.chunk_ticks)
     jax.block_until_ready(out.lap_time)
     dt = time.time() - t0
 
