@@ -509,21 +509,45 @@ def minimum_time_planner_dynamic(track,
     # each node with the kinematic steady state of the local curvature
     # (theta_d = v k, delta = atan(L k), y_d = v tan(beta)), which makes
     # the initial defects O(Pacejka mismatch) instead of O(1).
-    v_init = 10.0
+    #
+    # The SPEED of that seed decides which local optimum the SQP lands in
+    # (round-5 measurement, RACELINE.json convergence block): a flat
+    # 10 m/s start converges cleanly (defect ~3e-3 at 160 iterations) but
+    # to a ~9 m/s-average line, far below what the closed-loop controller
+    # demonstrably achieves.  Seed instead with the friction-limited
+    # cornering speed of the local curvature, smoothed backward/forward by
+    # the longitudinal-acceleration limit (the classic quasi-steady-state
+    # speed-profile construction), capped at the target speed.
     k_nodes = jax.vmap(track.curvature)(s_nodes)
+    v_corner = jnp.minimum(
+        jnp.sqrt(params.ac_max / jnp.maximum(jnp.abs(k_nodes), 1e-4)),
+        18.0)
+    # accel-limit smoothing: two passes of v' <= sqrt(v^2 + 2 a ds)
+    # around the loop (periodic)
+    def smooth(v):
+        def fwd(vp, vn):
+            v_ok = jnp.minimum(vn, jnp.sqrt(vp * vp + 2.0 * 8.0 * ds))
+            return v_ok, v_ok
+        _, v1 = lax.scan(fwd, v[-1], v)
+        _, v2 = lax.scan(fwd, v1[-1], v1)
+        return v2
+
+    v_nodes = smooth(smooth(v_corner)[::-1])[::-1]
     delta_init = jnp.arctan((params.lf + params.lr) * k_nodes)
     beta_init = jnp.arctan(params.lr_ratio * jnp.tan(delta_init))
     y0 = jnp.stack([
         jnp.zeros((N,), dtype),
         jnp.zeros((N,), dtype),
-        jnp.full((N,), v_init, dtype),
-        v_init * jnp.tan(beta_init),
-        v_init * k_nodes,
+        v_nodes,
+        v_nodes * jnp.tan(beta_init),
+        v_nodes * k_nodes,
         delta_init,
     ], axis=1)
-    # controls: a=0, delta_d = d(delta)/dt = delta'(s) * s_dot
-    ddel = (jnp.roll(delta_init, -1) - delta_init) / ds * v_init
-    u0 = jnp.stack([jnp.zeros((N,), dtype), ddel], axis=1)
+    # controls: a = v dv/ds (chain rule), delta_d = delta'(s) * s_dot
+    dv = (jnp.roll(v_nodes, -1) - v_nodes) / ds
+    a_init = jnp.clip(v_nodes * dv, -10.0, 10.0)
+    ddel = (jnp.roll(delta_init, -1) - delta_init) / ds * v_nodes
+    u0 = jnp.stack([a_init, ddel], axis=1)
     q_reg = jnp.tile(jnp.asarray([0.01, 0.01, 0.0, 0.0, 0.0, 0.0], dtype),
                      (N, 1))
     r_reg = jnp.tile(jnp.asarray([1e-6, 0.01], dtype), (N, 1))
