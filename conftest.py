@@ -20,6 +20,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: repeated suite runs skip XLA compilation
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache for the CPU suite: on this fleet the
+# XLA:CPU AOT loader reports a machine-feature mismatch for every cache
+# entry ("+prefer-no-scatter ... not supported on the host machine") and
+# deserialized executables can SIGSEGV on load (observed deterministically
+# at tests/test_nmpc.py's eager riccati solves, round 5, even with a
+# freshly regenerated cache).  Recompiling each run costs ~2x suite time
+# but is stable; the TPU-side cache (/tmp/jax_cache_tpu) is unaffected.
