@@ -27,3 +27,23 @@ jax.config.update("jax_enable_x64", True)
 # at tests/test_nmpc.py's eager riccati solves, round 5, even with a
 # freshly regenerated cache).  Recompiling each run costs ~2x suite time
 # but is stable; the TPU-side cache (/tmp/jax_cache_tpu) is unaffected.
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    With the whole suite in one process, XLA:CPU accumulates hundreds of
+    loaded JIT modules; on this fleet the compiler deterministically
+    aborts (SIGABRT/SIGSEGV inside backend_compile_and_load) at
+    tests/test_riccati.py's eager solves once the full prefix has run --
+    the same tests pass standalone.  Dropping the dispatch/executable
+    caches at module boundaries keeps the loaded-module population
+    bounded; the cost is re-compilation of shared programs per module.
+    """
+    import jax
+    jax.clear_caches()
+    yield
